@@ -1,0 +1,180 @@
+"""Typed experiment configuration.
+
+Replaces the reference's argparse-namespace + JSON-setattr override
+(reference: options/train_options.py:4-201, train_hrnet.py:505-510) with one
+dataclass that (a) loads the same JSON config schema the reference ships 42
+of, (b) actually validates enums (the reference silently accepts stale values
+like pretrain='efficientnet', SURVEY.md §5), and (c) is hashable/static so it
+can parameterise jitted train steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Sequence
+
+ENCODERS = ("res18", "res50", "res101", "hr18sv2", "effb3", "none")
+HAND_MODELS = ("mano", "nimble", "mano_new")
+DATASETS = ("FreiHand", "RHD", "HO3D", "Dart")
+BASE_LOSS_FNS = ("L1", "L2")
+OPTIMIZERS = ("Adam", "AdamW")
+
+
+@dataclass(frozen=True)
+class Config:
+    # model
+    pretrain: str = "res50"  # encoder selection (models_res_nimble.py:42-53)
+    hand_model: str = "mano"
+    use_mean_shape: bool = False
+    render: bool = True
+    light_estimation: bool = True
+    four_channel: bool = False
+    image_size: int = 224
+    aa_factor: int = 3
+
+    # data
+    train_datasets: tuple = ("FreiHand",)
+    val_datasets: tuple = ("FreiHand",)
+    train_queries: tuple = ("trans_images", "trans_Ks", "trans_joints")
+    val_queries: tuple = ("images", "Ks", "joints")
+    train_queries_frei: tuple = ()
+    train_queries_rhd: tuple = ()
+    train_queries_ho3d: tuple = ()
+    train_queries_dart: tuple = ()
+    freihand_base_path: str | None = None
+    rhd_base_path: str | None = None
+    ho3d_base_path: str | None = None
+    dart_base_path: str | None = None
+    controlled_exp: bool = False
+    controlled_size: int = 3000
+    semi_ratio: float | None = None
+
+    # losses
+    losses: tuple = ("mscale",)
+    base_loss_fn: str = "L2"
+    lambda_laplacian: float = 0.1
+    lambda_texture: float = 0.003
+    lambda_silhouette: float = 0.005
+    lambda_j2d: float = 1e-3
+    lambda_j2d_de: float = 1e-4
+    lambda_j3d: float = 100.0
+    lambda_j3d_norm: float = 100.0
+    lambda_vert_3d: float = 100.0
+    lambda_mrgb: float = 1e-3
+    lambda_iou: float = 1e-3
+    lambda_bone_direc: float = 0.1
+    lambda_bone_direc_3d: float = 0.1
+    lambda_edge_len: float = 0.1
+    lambda_percep: float = 1e-5
+    lambda_hm: float = 1e-3
+    lambda_kp_cons: float = 2e-4
+    lambda_ssim_tex: float = 0.001
+    lambda_scale: float = 100.0
+    lambda_mscale: float = 0.1
+    # stepped schedules: value_list[i] applies from epoch steps[i-1] (steps
+    # strictly increasing; reference train_hrnet.py:453-465)
+    lambda_j2d_gt_list: tuple = (1e-5,)
+    lambda_j2d_gt_steps: tuple = ()
+    lambda_shape_list: tuple = (1e-5,)
+    lambda_shape_steps: tuple = ()
+    lambda_pose_list: tuple = (1e-4,)
+    lambda_pose_steps: tuple = ()
+    lambda_tex_reg_list: tuple = (1e-5,)
+    lambda_tex_reg_steps: tuple = ()
+
+    # optimisation
+    optimizer: str = "Adam"
+    init_lr: float = 1e-3
+    force_init_lr: float = -1.0
+    lr_steps: tuple = (50,)
+    lr_gamma: float = 0.001
+    total_epochs: int = 100
+    train_batch: int = 8
+    val_batch: int = 8
+    num_workers: int = 8
+    save_interval: int = 1
+    save_mode: str = "separately"
+    only_train_regressor: bool = False
+    only_train_texture: bool = False
+
+    # checkpointing / resume
+    pretrain_model: str | None = None
+    pretrain_texture_model: str | None = None
+    pretrain_segmnet: str | None = None
+    pretrain_rgb2hm: str | None = None
+
+    # logging
+    base_out_path: str = "output/debug"
+    demo_freq: int = 100
+    print_freq: int = 100
+    is_write_tb: bool = False
+
+    # misc reference passthroughs (kept for JSON compatibility)
+    mode: tuple = ("training",)
+    task: str = "train"
+    new_model: bool = True
+    is_val: bool = False
+    if_test: bool = True
+    val_interval: int = 1
+    test_refinement: bool = False
+    save_2d: bool = False
+    save_3d: bool = False
+    img_wise_save: bool = False
+
+    def __post_init__(self):
+        if self.pretrain not in ENCODERS:
+            raise ValueError(f"unknown encoder pretrain={self.pretrain!r}; valid: {ENCODERS}")
+        if self.hand_model not in HAND_MODELS:
+            raise ValueError(f"unknown hand_model={self.hand_model!r}; valid: {HAND_MODELS}")
+        for d in tuple(self.train_datasets) + tuple(self.val_datasets):
+            if d not in DATASETS:
+                raise ValueError(f"unknown dataset {d!r}; valid: {DATASETS}")
+        if self.base_loss_fn not in BASE_LOSS_FNS:
+            raise ValueError(f"base_loss_fn must be one of {BASE_LOSS_FNS}")
+        if self.optimizer not in OPTIMIZERS:
+            raise ValueError(f"optimizer must be one of {OPTIMIZERS}")
+        for name in ("lambda_j2d_gt", "lambda_shape", "lambda_pose", "lambda_tex_reg"):
+            lst = getattr(self, f"{name}_list")
+            steps = getattr(self, f"{name}_steps")
+            if len(lst) != len(steps) + 1:
+                raise ValueError(f"{name}_list must have len(steps)+1 entries")
+
+    # -- stepped λ schedules -------------------------------------------------
+    def lambda_at_epoch(self, name: str, epoch: int) -> float:
+        """Current value of a stepped lambda ('j2d_gt'|'shape'|'pose'|'tex_reg')."""
+        lst = getattr(self, f"lambda_{name}_list")
+        steps = getattr(self, f"lambda_{name}_steps")
+        i = sum(1 for s in steps if epoch >= s)
+        return float(lst[i])
+
+    @property
+    def ncomps(self):
+        """(shape, pose, tex) component counts (models_res_nimble.py:55-60)."""
+        if self.hand_model == "nimble":
+            return (20, 30, 10)
+        return (10, 48, None)
+
+    # -- JSON loading --------------------------------------------------------
+    @staticmethod
+    def from_json(path: str, **overrides) -> "Config":
+        with open(path) as f:
+            raw = json.load(f)
+        raw.update(overrides)
+        return Config.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "Config":
+        fields = {f.name: f for f in dataclasses.fields(Config)}
+        kwargs = {}
+        for k, v in raw.items():
+            if k not in fields:
+                continue  # ignore reference-only keys we don't model
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[k] = v
+        return Config(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)

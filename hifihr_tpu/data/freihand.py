@@ -1,0 +1,193 @@
+"""FreiHAND dataset loader (query-driven, numpy host pipeline).
+
+Mirrors reference data/dataset.py:1402-1610 (FreiHand class) + the FreiHAND
+branch of HandDataset.get_sample (:160-289):
+  * {split}_K.json / _scale.json / _xyz.json / _verts.json / _mano.json
+  * 32560 unique training frames x 4 color-augmented versions (130240 images),
+    masks/CRF masks only exist for the first 32560 (idx % 32560)
+  * trainval split at 30000 (:1436-1451)
+  * openpose pseudo-labels from outputs/freihand-train_openpose_keypoints.json
+  * train-time random-rotation augmentation producing trans_* fields with the
+    K update K' = post_rot_trans @ K (:222-281)
+
+Images load as HWC float32 in [0,1] (NHWC downstream, TPU-native).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from hifihr_tpu.geometry import crops
+
+DB_SIZE_TRAIN = 32560  # reference utils/fh_utils.py:442-449
+DB_SIZE_EVAL = 3960
+TRAINVAL_SPLIT = 30000
+N_COLOR_VERSIONS = 4
+
+
+def _json_load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _load_image(path) -> np.ndarray:
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.open(path), np.float32) / 255.0
+    except ImportError:
+        import imageio.v2 as imageio
+
+        return np.asarray(imageio.imread(path), np.float32) / 255.0
+
+
+class FreiHand:
+    name = "FreiHand"
+
+    def __init__(
+        self,
+        base_path: str,
+        split: str = "training",  # training | trainval | val | evaluation
+        queries: tuple = ("images", "Ks", "joints", "verts", "scales"),
+        max_rot: float = np.pi,
+        train: bool | None = None,
+    ):
+        self.base_path = base_path
+        self.split = split
+        self.queries = tuple(queries)
+        self.max_rot = max_rot
+        self.train = train if train is not None else split in ("training", "trainval")
+        self._rng = np.random.RandomState(0)
+
+        prefix = "evaluation" if split == "evaluation" else "training"
+        self.img_dir = os.path.join(base_path, prefix, "rgb")
+        self.mask_dir = os.path.join(base_path, prefix, "mask")
+        self.K_list = _json_load(os.path.join(base_path, f"{prefix}_K.json"))
+        self.scale_list = _json_load(os.path.join(base_path, f"{prefix}_scale.json"))
+        if split != "evaluation":
+            self.xyz_list = _json_load(os.path.join(base_path, "training_xyz.json"))
+            self.verts_list = _json_load(os.path.join(base_path, "training_verts.json"))
+            mano_path = os.path.join(base_path, "training_mano.json")
+            self.mano_list = _json_load(mano_path) if os.path.exists(mano_path) else None
+        else:
+            self.xyz_list = self.verts_list = self.mano_list = None
+        open_path = os.path.join(
+            base_path, "outputs", "freihand-train_openpose_keypoints.json"
+        )
+        self.open_2dj = _json_load(open_path) if os.path.exists(open_path) else None
+
+        if split == "training":
+            self.indices = np.arange(DB_SIZE_TRAIN * N_COLOR_VERSIONS)
+        elif split == "trainval":
+            base = np.arange(TRAINVAL_SPLIT)
+            self.indices = np.concatenate(
+                [base + v * DB_SIZE_TRAIN for v in range(N_COLOR_VERSIONS)]
+            )
+        elif split == "val":
+            self.indices = np.arange(TRAINVAL_SPLIT, DB_SIZE_TRAIN)
+        else:
+            self.indices = np.arange(DB_SIZE_EVAL)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    # -- raw accessors -------------------------------------------------------
+    def _gt_idx(self, idx: int) -> int:
+        return idx % DB_SIZE_TRAIN if self.split != "evaluation" else idx
+
+    def get_img(self, idx: int) -> np.ndarray:
+        return _load_image(os.path.join(self.img_dir, "%08d.jpg" % idx))
+
+    def get_mask(self, idx: int) -> np.ndarray:
+        m = _load_image(os.path.join(self.mask_dir, "%08d.jpg" % (idx % DB_SIZE_TRAIN)))
+        if m.ndim == 3:
+            m = m[..., 0]
+        return np.round(m)
+
+    # -- sample assembly -----------------------------------------------------
+    def get_sample(self, i: int) -> dict:
+        idx = int(self.indices[i])
+        gt = self._gt_idx(idx)
+        q = self.queries
+        sample: dict = {"idxs": np.int64(idx)}
+
+        image = None
+        if "images" in q or "trans_images" in q:
+            image = self.get_img(idx)
+        if "images" in q:
+            sample["imgs"] = image
+        K = np.asarray(self.K_list[gt], np.float32)
+        if "Ks" in q or "trans_Ks" in q:
+            sample["Ks"] = K
+        if "scales" in q:
+            sample["scales"] = np.float32(self.scale_list[gt])
+        if self.xyz_list is not None and ("joints" in q or "trans_joints" in q):
+            joints = np.asarray(self.xyz_list[gt], np.float32)
+            if "joints" in q:
+                sample["joints"] = joints
+        if self.verts_list is not None and ("verts" in q or "trans_verts" in q):
+            verts = np.asarray(self.verts_list[gt], np.float32)
+            if "verts" in q:
+                sample["verts"] = verts
+        if self.mano_list is not None and "manos" in q:
+            sample["manos"] = np.asarray(self.mano_list[gt], np.float32)
+        if self.open_2dj is not None and ("open_2dj" in q or "trans_open_2dj" in q):
+            open_j, open_con = self.open_2dj[idx][:2] if isinstance(
+                self.open_2dj[idx], (list, tuple)
+            ) else (self.open_2dj[idx], None)
+            open_j = np.asarray(open_j, np.float32).reshape(21, -1)[:, :2]
+            if open_con is None:
+                open_con = np.ones((21, 1), np.float32)
+            open_con = np.asarray(open_con, np.float32).reshape(21, 1)
+            if "open_2dj" in q:
+                sample["open_2dj"] = open_j
+                sample["open_2dj_con"] = open_con
+        mask = None
+        if "masks" in q or "trans_masks" in q:
+            mask = self.get_mask(idx)
+            if "masks" in q:
+                sample["segms_gt"] = mask
+
+        # texture confidence: openpose mean conf, color versions beyond the
+        # first get 0 conf for photometric sup (traineval_util.py:62-66)
+        if "open_2dj" in sample:
+            con = float(np.mean(sample["open_2dj_con"]))
+            sample["texture_con"] = np.float32(con if idx < DB_SIZE_TRAIN else 0.0)
+
+        if self.train and "trans_images" in q:
+            center = np.asarray([112, 112])
+            scale = 224
+            rot = self._rng.uniform(-self.max_rot, self.max_rot)
+            rot_mat = np.asarray(
+                [
+                    [np.cos(rot), -np.sin(rot), 0],
+                    [np.sin(rot), np.cos(rot), 0],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+            affinetrans, post_rot_trans = crops.get_affine_transform(
+                center, scale, [224, 224], rot=rot
+            )
+            sample["imgs"] = crops.transform_img(image, affinetrans, [224, 224])
+            if "trans_Ks" in q:
+                sample["Ks"] = (post_rot_trans @ K).astype(np.float32)
+            if "trans_joints" in q:
+                sample["joints"] = (rot_mat @ joints.T).T
+            if "trans_verts" in q:
+                sample["verts"] = (rot_mat @ verts.T).T
+            if "trans_masks" in q and mask is not None:
+                sample["segms_gt"] = np.round(
+                    crops.transform_img(mask, affinetrans, [224, 224])
+                )
+            if "trans_open_2dj" in q and "open_2dj" in sample:
+                sample["open_2dj"] = crops.transform_coords(
+                    sample["open_2dj"], affinetrans
+                ).astype(np.float32)
+
+        if "joints" in sample:
+            sample["root_xyz"] = sample["joints"][9:10].copy()
+        return sample

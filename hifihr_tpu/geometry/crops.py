@@ -1,0 +1,108 @@
+"""Host-side affine crop/rotation math for the data pipeline (numpy).
+
+Semantics match reference utils/handutils.py:63-124 exactly (the K-matrix
+update `post_rot_trans @ K` depends on this exact construction — SURVEY.md
+lists crop-math parity as hard part #3).  Image warping is numpy bilinear
+(PIL-free; PIL's Image.AFFINE nearest/bilinear differences are below the
+augmentation noise floor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def get_annot_scale(annots: np.ndarray, scale_factor: float = 2.2) -> float:
+    mins = annots.min(0)
+    maxs = annots.max(0)
+    return float(max(maxs[0] - mins[0], maxs[1] - mins[1]) * scale_factor)
+
+
+def get_annot_center(annots: np.ndarray) -> np.ndarray:
+    mins = annots.min(0)
+    maxs = annots.max(0)
+    return np.asarray([int((maxs[0] + mins[0]) / 2), int((maxs[1] + mins[1]) / 2)])
+
+
+def get_affine_trans_no_rot(center, scale: float, res) -> np.ndarray:
+    t = np.zeros((3, 3))
+    t[0, 0] = float(res[1]) / scale
+    t[1, 1] = float(res[0]) / scale
+    t[0, 2] = res[1] * (-float(center[0]) / scale + 0.5)
+    t[1, 2] = res[0] * (-float(center[1]) / scale + 0.5)
+    t[2, 2] = 1
+    return t
+
+
+def get_affine_transform(center, scale: float, res, rot: float = 0.0):
+    """Returns (total_trans, post_rot_trans) as in the reference.
+
+    total_trans maps original-image pixels -> crop pixels (incl. rotation);
+    post_rot_trans is the no-rot crop around the rotated center, used to
+    update K: K' = post_rot_trans @ K (data/dataset.py:262).
+    """
+    rot_mat = np.zeros((3, 3))
+    sn, cs = np.sin(rot), np.cos(rot)
+    rot_mat[0, :2] = [cs, -sn]
+    rot_mat[1, :2] = [sn, cs]
+    rot_mat[2, 2] = 1
+    center_h = np.asarray(list(center) + [1.0])
+    origin_rot_center = rot_mat @ center_h
+
+    t_mat = np.eye(3)
+    t_mat[0, 2] = -res[1] / 2
+    t_mat[1, 2] = -res[0] / 2
+    t_inv = t_mat.copy()
+    t_inv[:2, 2] *= -1
+    transformed_center = t_inv @ rot_mat @ t_mat @ center_h
+
+    post_rot_trans = get_affine_trans_no_rot(origin_rot_center[:2], scale, res)
+    total_trans = post_rot_trans @ rot_mat
+    affinetrans_post_rot = get_affine_trans_no_rot(transformed_center[:2], scale, res)
+    return total_trans.astype(np.float32), affinetrans_post_rot.astype(np.float32)
+
+
+def transform_coords(pts: np.ndarray, affine_trans: np.ndarray, invert: bool = False) -> np.ndarray:
+    if invert:
+        affine_trans = np.linalg.inv(affine_trans)
+    hom = np.concatenate([pts, np.ones((np.asarray(pts).shape[0], 1))], axis=1)
+    return (affine_trans @ hom.T).T[:, :2]
+
+
+def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
+    """Bilinear warp of an HxWxC float image with the crop transform."""
+    inv = np.linalg.inv(affine_trans)
+    h_out, w_out = res
+    ys, xs = np.meshgrid(np.arange(h_out), np.arange(w_out), indexing="ij")
+    coords = np.stack([xs.ravel(), ys.ravel(), np.ones(xs.size)], axis=0)
+    src = inv @ coords
+    sx, sy = src[0], src[1]
+
+    h, w = img.shape[:2]
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    fx = sx - x0
+    fy = sy - y0
+
+    def sample(yy, xx):
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yy_c = np.clip(yy, 0, h - 1)
+        xx_c = np.clip(xx, 0, w - 1)
+        vals = img[yy_c, xx_c].astype(np.float64)
+        vals[~valid] = 0.0
+        return vals
+
+    v00 = sample(y0, x0)
+    v01 = sample(y0, x0 + 1)
+    v10 = sample(y0 + 1, x0)
+    v11 = sample(y0 + 1, x0 + 1)
+    fx = fx[:, None] if img.ndim == 3 else fx
+    fy = fy[:, None] if img.ndim == 3 else fy
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    shape = (h_out, w_out) + (() if img.ndim == 2 else (img.shape[2],))
+    return out.reshape(shape).astype(np.float32)

@@ -1,0 +1,182 @@
+"""Composite single-image hand reconstruction model (flax).
+
+JAX counterpart of the reference's `Model` (models_res_nimble.py:32-235):
+encoder -> light estimator -> hand parameter heads -> parametric hand layer
+-> root-centering -> differentiable render.  One `apply` produces the full
+outputs dict; everything is static-shaped and jit/pjit-friendly.
+
+Output-key parity with the reference forward (models_res_nimble.py:102-225):
+pose_params, shape_params, texture_params, scale, trans, rot, joints (21,
+FreiHAND order), mano_verts, tsa_poses, re_img (B,224,224,3), re_sil
+(B,224,224,1; {0,255} legacy convention), maskRGBs, mano_faces.  Images are
+NHWC (TPU-native) rather than NCHW.
+
+MANO texture: the reference cannot actually render its 'mano' branch (no
+textures on the Meshes; only NIMBLE carries a PCA appearance model).  Here the
+mano branch gets a learnable per-vertex albedo ('vert' texture_mode from
+options/train_options.py:46) so photometric self-supervision works end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hifihr_tpu.config import Config
+from hifihr_tpu.geometry.projection import perspective_project, orthographic_project
+from hifihr_tpu.hand.mano import ManoLayer, regress_joints_frei
+from hifihr_tpu.networks.heads import HandEncoder, LightEstimator
+from hifihr_tpu.networks.resnet import ResNetEncoder
+from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+from hifihr_tpu.render.shading import DirectionalLight
+
+ROOT_ID = 9  # FreiHAND middle-MCP root (models_res_nimble.py:33)
+
+
+class HiFiHR(nn.Module):
+    """config-driven composite model."""
+
+    config: Config
+
+    def setup(self):
+        cfg = self.config
+        if cfg.pretrain in ("res18", "res50", "res101"):
+            self.encoder = ResNetEncoder(variant=cfg.pretrain)
+            feat_dim = 512 if cfg.pretrain == "res18" else 2048
+        elif cfg.pretrain == "effb3":
+            from hifihr_tpu.networks.efficientnet import EffNetEncoder
+
+            self.encoder = EffNetEncoder()
+            feat_dim = 1536
+        elif cfg.pretrain == "hr18sv2":
+            from hifihr_tpu.networks.hrnet import HRNetEncoder
+
+            self.encoder = HRNetEncoder()
+            feat_dim = 1024
+        else:
+            raise ValueError(cfg.pretrain)
+
+        shape_nc, pose_nc, tex_nc = cfg.ncomps
+        self.hand_encoder = HandEncoder(
+            hand_model=cfg.hand_model,
+            shape_ncomp=shape_nc,
+            pose_ncomp=pose_nc,
+            tex_ncomp=tex_nc,
+            use_mean_shape=cfg.use_mean_shape,
+            if_render=cfg.render,
+        )
+        if cfg.light_estimation:
+            self.light_estimator = LightEstimator()
+
+        if cfg.hand_model == "mano":
+            self.mano = ManoLayer(ncomps=pose_nc - 3)
+            if cfg.render:
+                self.vert_tex = self.param("vert_tex", nn.initializers.zeros, (778, 3))
+        elif cfg.hand_model == "nimble":
+            from hifihr_tpu.hand.nimble import NimbleLayer
+
+            self.nimble = NimbleLayer()
+            self.mano = ManoLayer()  # for mano_verts/faces utilities
+        del feat_dim
+
+    def _vertex_albedo(self, batch: int):
+        albedo = nn.sigmoid(self.vert_tex + jnp.asarray([1.0, 0.2, -0.2]))  # skin-ish init
+        return jnp.broadcast_to(albedo[None], (batch, 778, 3))
+
+    def __call__(
+        self,
+        images: jnp.ndarray,  # (B, 224, 224, 3) float in [0,1]
+        Ks: jnp.ndarray | None = None,  # (B, 3, 3)
+        root_xyz: jnp.ndarray | None = None,  # (B, 1, 3)
+        dat_name: str = "FreiHand",
+        mode_train: bool = True,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        cfg = self.config
+        b = images.shape[0]
+
+        low, features = self.encoder(images, train=train)
+        light_params = None
+        if cfg.light_estimation:
+            light_params = self.light_estimator(low)
+
+        hand_params = self.hand_encoder(features, train=train)
+        outputs = dict(hand_params)
+
+        if cfg.hand_model == "mano":
+            mano_out = self.mano(hand_params["pose_params"], hand_params["shape_params"])
+            verts = mano_out.verts
+            # active path regresses frei-order joints from the mesh
+            # (models_res_nimble.py:150-153)
+            joints = regress_joints_frei(verts, self.mano.J_regressor)
+            outputs["tsa_poses"] = mano_out.full_pose
+            outputs["mano_verts"] = verts
+        else:  # nimble
+            nimble_out = self.nimble(hand_params)
+            outputs.update(nimble_out)
+            joints = nimble_out["joints"]
+            verts = nimble_out["mano_verts"]
+
+        # root-relative (models_res_nimble.py:159-172)
+        if dat_name == "HO3D" and not mode_train:
+            pred_root = joints[:, 0:1]
+        else:
+            pred_root = joints[:, ROOT_ID : ROOT_ID + 1]
+        joints = joints - pred_root
+        outputs["joints"] = joints
+        outputs["mano_verts"] = outputs["mano_verts"] - pred_root
+
+        if cfg.render and Ks is not None and root_xyz is not None:
+            if cfg.hand_model == "mano":
+                render_verts = outputs["mano_verts"] + root_xyz
+                albedo = self._vertex_albedo(b)
+                faces = self.mano.faces
+            else:
+                render_verts = outputs["skin_verts"] - pred_root + root_xyz
+                albedo = outputs["skin_albedo"]
+                faces = self.nimble.skin_faces
+            renderer = PhongRenderer(
+                faces,
+                RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor),
+            )
+            if light_params is not None:
+                light = DirectionalLight.from_estimator(
+                    light_params["colors"], light_params["directions"]
+                )
+            else:
+                light = DirectionalLight.default(b, images.dtype)
+            rgba = renderer(render_verts, albedo, Ks[:, :3, :3], light)
+            re_sil = (rgba[..., 3:4] > 0).astype(images.dtype) * 255.0
+            outputs["re_img"] = rgba[..., :3]
+            outputs["re_sil"] = re_sil
+            outputs["maskRGBs"] = images * (re_sil > 0).astype(images.dtype)
+
+        outputs["mano_faces"] = self.mano.faces
+        if light_params is not None:
+            outputs["light_params"] = light_params
+        return outputs
+
+
+def attach_j2d(outputs: dict, Ks=None, root_xyz=None, ortho_intr=None, dat_name="FreiHand"):
+    """Project predicted joints to 2D, mirroring the driver's wiring
+    (train_hrnet.py:70-88: perspective via K after restoring root; DART via
+    fitted ortho camera)."""
+    if dat_name == "Dart":
+        outputs["j2d"] = orthographic_project(outputs["joints"], ortho_intr)
+        if "nimble_joints" in outputs:
+            outputs["nimble_j2d"] = orthographic_project(outputs["nimble_joints"], ortho_intr)
+    else:
+        j3d = outputs["joints"] + root_xyz
+        outputs["j2d"] = perspective_project(j3d, Ks[:, :3, :3])
+        if "nimble_joints" in outputs:
+            outputs["nimble_j2d"] = perspective_project(
+                outputs["nimble_joints"] + root_xyz, Ks[:, :3, :3]
+            )
+    return outputs
+
+
+def build_model(config: Config):
+    return HiFiHR(config=config)

@@ -1,0 +1,145 @@
+"""ResNet-18/50/101 image encoders (flax, NHWC).
+
+Architecture matches torchvision ResNet v1 so pretrained torch weights can be
+converted 1:1 (hifihr_tpu/tools weight converter), with the reference's
+detail-preserving trick: layer4's downsampling stride is removed so the final
+feature map stays 14x14 at 224^2 input (reference: network/res_encoder.py:
+354-373).  Optional 4-channel input concatenates a heatmap channel
+(reference: res_encoder.py:356-358).
+
+Returns (low_features [B,28,28,512], features [B,14,14,C_out]) like the
+reference's Resnet_4C.forward (res_encoder.py:364-373).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_imagenet(images: jnp.ndarray) -> jnp.ndarray:
+    """NHWC float images in [0,1] -> imagenet-normalised; supports 3 or 4 ch.
+
+    4th channel (heatmap) is shifted to [-0.5, 0.5] like the reference
+    (network/res_encoder.py:218-222).
+    """
+    c = images.shape[-1]
+    mean = jnp.asarray(IMAGENET_MEAN + (0.5,) * (c - 3), images.dtype)
+    std = jnp.asarray(IMAGENET_STD + (1.0,) * (c - 3), images.dtype)
+    return (images - mean) / std
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int  # bottleneck width; output channels = 4 * filters
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = norm("bn3")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters * 4, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+_CONFIGS = {
+    "res18": (BasicBlock, (2, 2, 2, 2), 512),
+    "res50": (Bottleneck, (3, 4, 6, 3), 2048),
+    "res101": (Bottleneck, (3, 4, 23, 3), 2048),
+}
+
+
+class ResNet(nn.Module):
+    """Backbone producing (low 28x28 stage-2 features, 14x14 stage-4 features)."""
+
+    variant: str = "res50"
+    layer4_stride1: bool = True  # reference's 14x14 trick (res_encoder.py:360-362)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, depths, _ = _CONFIGS[self.variant]
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
+        )
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(norm("bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        low = None
+        widths = (64, 128, 256, 512)
+        for stage, (depth, width) in enumerate(zip(depths, widths)):
+            stride = 1 if stage == 0 else 2
+            if stage == 3 and self.layer4_stride1:
+                stride = 1
+            for i in range(depth):
+                x = block_cls(width, stride if i == 0 else 1, dtype=self.dtype,
+                              name=f"layer{stage + 1}_{i}")(x, train)
+            if stage == 1:
+                low = x  # [B, 28, 28, 512] for res50/101
+        return low, x
+
+    @property
+    def out_channels(self) -> int:
+        return _CONFIGS[self.variant][2]
+
+
+class ResNetEncoder(nn.Module):
+    """Imagenet-normalise -> ResNet -> (low, pooled features).
+
+    Pooling is MMPool, a learned max/avg mix (reference res_encoder.py:247-268).
+    """
+
+    variant: str = "res50"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        from hifihr_tpu.networks.heads import MMPool
+
+        x = normalize_imagenet(images).astype(self.dtype)
+        low, feat = ResNet(self.variant, dtype=self.dtype, name="backbone")(x, train)
+        pooled = MMPool(name="mmpool")(feat)
+        return low, pooled.astype(jnp.float32)

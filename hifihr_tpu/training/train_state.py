@@ -1,0 +1,76 @@
+"""Train state + optimiser (optax) matching the reference recipe.
+
+Reference: Adam/AdamW + MultiStepLR(lr_steps, lr_gamma)
+(train_hrnet.py:546-554) with `force_init_lr` override on resume (:557-558)
+and per-epoch stepped λ schedules handled by Config.lambda_at_epoch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state as flax_train_state
+
+from hifihr_tpu.config import Config
+
+
+class TrainState(flax_train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_lr_schedule(config: Config, steps_per_epoch: int):
+    """MultiStepLR: lr *= lr_gamma at each epoch in lr_steps."""
+    lr = config.init_lr if config.force_init_lr <= 0 else config.force_init_lr
+    boundaries = {
+        int(e) * steps_per_epoch: config.lr_gamma for e in config.lr_steps
+    }
+    return optax.piecewise_constant_schedule(lr, boundaries)
+
+
+def make_optimizer(config: Config, steps_per_epoch: int):
+    schedule = make_lr_schedule(config, steps_per_epoch)
+    if config.optimizer == "AdamW":
+        return optax.adamw(schedule)
+    return optax.adam(schedule)
+
+
+def create_train_state(
+    model, config: Config, rng, sample_batch: dict, steps_per_epoch: int = 1000
+) -> TrainState:
+    variables = model.init(
+        rng,
+        sample_batch["imgs"],
+        sample_batch.get("Ks"),
+        sample_batch.get("root_xyz"),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
+    )
+
+
+def freeze_submodules(tx, params, frozen_prefixes: tuple[str, ...]):
+    """Zero updates for selected top-level submodules.
+
+    TPU-native counterpart of the reference's requires_grad freezing
+    (utils/train_utils.py:205-240: freeze encoder / train-texture-only modes).
+    """
+    if not frozen_prefixes:
+        return tx
+
+    def label(params_tree):
+        return {
+            k: ("frozen" if k in frozen_prefixes else "trained")
+            for k in params_tree.keys()
+        }
+
+    return optax.multi_transform(
+        {"trained": tx, "frozen": optax.set_to_zero()}, label
+    )

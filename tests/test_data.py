@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from hifihr_tpu.data.base import BatchLoader, ConcatLoader, collate
+from hifihr_tpu.data.synthetic import SyntheticHandDataset
+from hifihr_tpu.geometry import crops
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return SyntheticHandDataset(size=32, image_size=32)
+
+
+def test_synthetic_sample_consistency(synth):
+    s = synth.get_sample(3)
+    assert s["imgs"].shape == (32, 32, 3)
+    assert s["joints"].shape == (21, 3)
+    assert s["verts"].shape == (778, 3)
+    # j2d must equal projection of joints with K
+    uvw = s["joints"] @ s["Ks"].T
+    j2d = uvw[:, :2] / uvw[:, 2:3]
+    np.testing.assert_allclose(s["j2d_gt"], j2d, atol=1e-4)
+    # root_xyz is at joints[9]
+    np.testing.assert_allclose(s["joints"][9], s["root_xyz"][0], atol=1e-6)
+
+
+def test_batch_loader_shapes_and_determinism(synth):
+    loader = BatchLoader(synth, batch_size=8, seed=5)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0]["imgs"].shape == (8, 32, 32, 3)
+    assert batches[0]["dataset"] == "FreiHand"
+    loader2 = BatchLoader(synth, batch_size=8, seed=5)
+    b2 = next(iter(loader2))
+    np.testing.assert_array_equal(batches[0]["imgs"], b2["imgs"])
+
+
+def test_concat_loader_round_robin(synth):
+    a = BatchLoader(synth, batch_size=8)
+    b = BatchLoader(SyntheticHandDataset(size=16, image_size=32, seed=7), batch_size=8)
+    cat = ConcatLoader([a, b])
+    assert len(cat) == 4 + 2
+    names = [batch["dataset"] for batch in cat]
+    assert len(names) == 6  # alternates, refilling the shorter loader
+
+
+def test_collate_scalars():
+    out = collate([{"x": 1.0, "a": np.zeros(3)}, {"x": 2.0, "a": np.ones(3)}])
+    assert out["x"].shape == (2,)
+    assert out["a"].shape == (2, 3)
+
+
+def test_affine_transform_coords_roundtrip(rng):
+    center = np.asarray([100, 120])
+    total, post = crops.get_affine_transform(center, 200, [224, 224], rot=0.3)
+    pts = rng.rand(10, 2) * 200
+    out = crops.transform_coords(pts, total)
+    back = crops.transform_coords(out, total, invert=True)
+    np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_affine_k_update_consistency(rng):
+    """Projecting rotated 3D points with K' = post_rot_trans @ K must equal
+    transforming the original projections — the invariant behind the
+    reference's trans_Ks (data/dataset.py:222-281)."""
+    center = np.asarray([112, 112])
+    rot = 0.7
+    rot_mat = np.asarray(
+        [[np.cos(rot), -np.sin(rot), 0], [np.sin(rot), np.cos(rot), 0], [0, 0, 1]]
+    )
+    total, post = crops.get_affine_transform(center, 224, [224, 224], rot=rot)
+    K = np.asarray([[300.0, 0, 112], [0, 300.0, 112], [0, 0, 1]])
+    xyz = rng.rand(5, 3) * 0.2 + np.asarray([0, 0, 0.5])
+    # original projection, then full affine (incl rot)
+    uvw = xyz @ K.T
+    uv = uvw[:, :2] / uvw[:, 2:3]
+    uv_t = crops.transform_coords(uv, total)
+    # rotated 3D points with updated K
+    K_new = post @ K
+    uvw2 = (rot_mat @ xyz.T).T @ K_new.T
+    uv2 = uvw2[:, :2] / uvw2[:, 2:3]
+    np.testing.assert_allclose(uv_t, uv2, atol=1e-3)
+
+
+def test_transform_img_identity():
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    out = crops.transform_img(img, np.eye(3), [16, 16])
+    np.testing.assert_allclose(out, img, atol=1e-5)

@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hifihr_tpu.networks.resnet import ResNet, ResNetEncoder, normalize_imagenet
+from hifihr_tpu.networks.heads import HandEncoder, LightEstimator, MMPool
+
+
+def test_normalize_imagenet_3c():
+    x = jnp.full((1, 2, 2, 3), 0.485)
+    y = np.asarray(normalize_imagenet(x))
+    assert abs(y[0, 0, 0, 0]) < 1e-6  # exactly mean -> 0
+
+
+@pytest.mark.parametrize("variant,cout", [("res18", 512), ("res50", 2048)])
+def test_resnet_shapes(variant, cout):
+    model = ResNet(variant=variant)
+    x = jnp.zeros((2, 224, 224, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    low, feat = model.apply(vars_, x, train=False)
+    assert low.shape == (2, 28, 28, 512 if variant != "res18" else 128)
+    assert feat.shape == (2, 14, 14, cout)  # layer4 stride-1 trick
+
+
+def test_resnet_encoder_pooled():
+    model = ResNetEncoder(variant="res50")
+    x = jnp.zeros((2, 224, 224, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    low, feat = model.apply(vars_, x, train=False)
+    assert feat.shape == (2, 2048)
+    assert low.shape == (2, 28, 28, 512)
+
+
+def test_hand_encoder_mano():
+    enc = HandEncoder(hand_model="mano", shape_ncomp=10, pose_ncomp=48)
+    f = jnp.zeros((4, 2048))
+    vars_ = enc.init(jax.random.PRNGKey(0), f, train=False)
+    out = enc.apply(vars_, f, train=False)
+    assert out["pose_params"].shape == (4, 48)
+    assert out["shape_params"].shape == (4, 10)
+    assert out["scale"].shape == (4, 1)
+    assert out["trans"].shape == (4, 3)
+    assert out["rot"].shape == (4, 3)
+    assert out["texture_params"] is None
+
+
+def test_hand_encoder_nimble_mean_shape():
+    enc = HandEncoder(hand_model="nimble", shape_ncomp=20, pose_ncomp=30,
+                      tex_ncomp=10, use_mean_shape=True)
+    f = jnp.ones((2, 2048))
+    vars_ = enc.init(jax.random.PRNGKey(0), f, train=False)
+    out = enc.apply(vars_, f, train=False)
+    assert out["texture_params"].shape == (2, 10)
+    np.testing.assert_array_equal(np.asarray(out["shape_params"]), 0)
+    assert out["rot"] is None
+
+
+def test_light_estimator():
+    le = LightEstimator()
+    low = jnp.zeros((2, 28, 28, 512))
+    vars_ = le.init(jax.random.PRNGKey(0), low)
+    out = le.apply(vars_, low)
+    assert out["colors"].shape == (2, 3)
+    assert out["directions"].shape == (2, 3)
+    assert float(jnp.abs(out["colors"]).max()) <= 1.0
+
+
+def test_mmpool_mix():
+    pool = MMPool()
+    x = jnp.stack([jnp.zeros((4, 4, 1)), jnp.ones((4, 4, 1))])
+    x = x.at[1, 0, 0, 0].set(3.0)
+    vars_ = pool.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(pool.apply(vars_, x))
+    # p=0 -> sigmoid=0.5 -> 0.5*max + 0.5*avg
+    expect_b1 = 0.5 * 3.0 + 0.5 * float(np.mean(np.asarray(x[1])))
+    np.testing.assert_allclose(out[1, 0], expect_b1, rtol=1e-6)

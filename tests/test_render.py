@@ -1,0 +1,125 @@
+"""Rasteriser correctness: analytic scenes + finite-difference gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hifihr_tpu.render.raster_jax import project_to_screen, rasterize_face_id
+from hifihr_tpu.render.interpolate import barycentric_coords, interpolate_attribute
+from hifihr_tpu.render.mesh import vertex_normals, uniform_laplacian
+from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+from hifihr_tpu.render.shading import DirectionalLight
+
+S = 32  # tiny image for CPU tests
+
+
+def _ortho_K(size):
+    # focal=size, principal at center: x in [-0.5, 0.5] at z=1 spans the image
+    return jnp.asarray([[[float(size), 0, size / 2], [0, float(size), size / 2], [0, 0, 1]]])
+
+
+def test_project_to_screen_center():
+    K = _ortho_K(S)
+    v = jnp.asarray([[[0.0, 0.0, 1.0]]])
+    sc = np.asarray(project_to_screen(v, K))
+    np.testing.assert_allclose(sc[0, 0, :2], [S / 2, S / 2], atol=1e-5)
+
+
+def test_single_triangle_coverage():
+    K = _ortho_K(S)
+    # big triangle around the center at depth 1
+    verts = jnp.asarray([[[-0.4, -0.4, 1.0], [0.4, -0.4, 1.0], [0.0, 0.45, 1.0]]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    vs = project_to_screen(verts, K)
+    fid, zbuf = rasterize_face_id(vs, faces, S, chunk=4)
+    fid, zbuf = np.asarray(fid), np.asarray(zbuf)
+    # center pixel covered, corners not
+    assert fid[0, S // 2, S // 2] == 0
+    assert fid[0, 0, 0] == -1 and fid[0, -1, -1] == -1
+    assert abs(zbuf[0, S // 2, S // 2] - 1.0) < 1e-5
+    # coverage fraction ~ area: triangle area 0.8*0.85/2=0.34 of [-0.5,.5]^2
+    frac = (fid[0] >= 0).mean()
+    assert 0.25 < frac < 0.45
+
+
+def test_depth_ordering():
+    K = _ortho_K(S)
+    tri_near = [[-0.4, -0.4, 0.5], [0.4, -0.4, 0.5], [0.0, 0.45, 0.5]]
+    tri_far = [[-0.4, -0.4, 1.0], [0.4, -0.4, 1.0], [0.0, 0.45, 1.0]]
+    verts = jnp.asarray([tri_far + tri_near])  # far face first
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    vs = project_to_screen(verts, K)
+    fid, zbuf = rasterize_face_id(vs, faces, S, chunk=4)
+    assert np.asarray(fid)[0, S // 2, S // 2] == 1  # nearer triangle wins
+    # note: near tri at z=0.5 projects twice as large; its bbox covers center
+    assert abs(np.asarray(zbuf)[0, S // 2, S // 2] - 0.5) < 1e-5
+
+
+def test_barycentric_interpolation_linear_attr():
+    """Interpolating the vertex positions themselves must reproduce the
+    camera-space point under perspective-correct barycentrics."""
+    K = _ortho_K(S)
+    verts = jnp.asarray([[[-0.4, -0.4, 0.8], [0.4, -0.4, 1.3], [0.0, 0.45, 1.0]]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    vs = project_to_screen(verts, K)
+    fid, _ = rasterize_face_id(vs, faces, S, chunk=4)
+    frag = barycentric_coords(fid, vs, faces)
+    pts = np.asarray(interpolate_attribute(frag, verts))
+    # reproject interpolated points: should land on the pixel center
+    cov = np.asarray(fid[0]) >= 0
+    ys, xs = np.nonzero(cov)
+    K_np = np.asarray(K[0])
+    for y, x in list(zip(ys, xs))[:: max(1, len(ys) // 8)]:
+        p = pts[0, y, x]
+        u = K_np[0, 0] * p[0] / p[2] + K_np[0, 2]
+        v = K_np[1, 1] * p[1] / p[2] + K_np[1, 2]
+        assert abs(u - (x + 0.5)) < 1e-3 and abs(v - (y + 0.5)) < 1e-3
+
+
+def test_render_rgba_and_gradients():
+    K = _ortho_K(S)
+    verts = jnp.asarray([[[-0.4, -0.4, 1.0], [0.4, -0.4, 1.0], [0.0, 0.45, 1.0]]])
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    colors = jnp.ones_like(verts) * jnp.asarray([1.0, 0.5, 0.25])
+    renderer = PhongRenderer(faces, RenderSettings(image_size=S, aa_factor=2, backend="jax", face_chunk=4))
+
+    def render_sum(v):
+        rgba = renderer(v, colors, K)
+        return jnp.sum(rgba[..., :3]), rgba
+
+    (val, rgba), grad = jax.value_and_grad(render_sum, has_aux=True)(verts)
+    rgba = np.asarray(rgba)
+    assert rgba.shape == (1, S, S, 4)
+    assert rgba[..., 3].max() == 1.0
+    assert np.all(np.isfinite(np.asarray(grad)))
+    # moving a vertex changes shading/coverage -> nonzero grad
+    assert float(jnp.abs(grad).max()) > 0
+
+    # finite-difference check on the albedo path (smooth, so FD is meaningful)
+    def albedo_mean(c):
+        return jnp.mean(renderer(verts, c, K)[..., :3])
+
+    g = jax.grad(albedo_mean)(colors)
+    eps = 1e-3
+    c2 = colors.at[0, 0, 0].add(eps)
+    fd = (albedo_mean(c2) - albedo_mean(colors)) / eps
+    np.testing.assert_allclose(float(g[0, 0, 0]), float(fd), rtol=2e-2)
+
+
+def test_vertex_normals_flat_quad():
+    verts = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]])
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    n = np.asarray(vertex_normals(verts, faces))
+    np.testing.assert_allclose(np.abs(n[0, :, 2]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(n[0, :, :2], 0.0, atol=1e-6)
+
+
+def test_uniform_laplacian_flat():
+    # on a straight line of equal spacing the uniform laplacian ~ 0 interior
+    faces = np.asarray([[0, 1, 2], [1, 2, 3]], np.int32)
+    L = np.asarray(uniform_laplacian(4, faces))
+    verts = np.asarray([[0.0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]])
+    lap = L @ verts
+    # vertex 1 neighbors: 0,2,3 -> mean (5/3) - 1 = 2/3
+    np.testing.assert_allclose(lap[1, 0], 5 / 3 - 1, atol=1e-6)
