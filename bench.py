@@ -21,7 +21,7 @@ import numpy as np
 
 REF_GPU_IMAGES_PER_SEC = 30.0  # estimated PyTorch+V100 reference throughput
 
-BATCH = 16
+BATCH = 8
 IMAGE_SIZE = 224
 STEPS = 20
 

@@ -69,6 +69,21 @@ def transform_coords(pts: np.ndarray, affine_trans: np.ndarray, invert: bool = F
     return (affine_trans @ hom.T).T[:, :2]
 
 
+def resized_crop(img: np.ndarray, top: float, left: float, height: float,
+                 width: float, res) -> np.ndarray:
+    """Crop a (possibly out-of-bounds, zero-padded) box and resize to res.
+
+    numpy equivalent of torchvision resized_crop as used by the RHD/HO3D
+    pipelines (data/dataset.py:585, 1166); bilinear.
+    """
+    sx = width / res[1]
+    sy = height / res[0]
+    affine = np.linalg.inv(
+        np.asarray([[sx, 0, left], [0, sy, top], [0, 0, 1.0]], np.float64)
+    )
+    return transform_img(img, affine, res)
+
+
 def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
     """Bilinear warp of an HxWxC float image with the crop transform."""
     inv = np.linalg.inv(affine_trans)

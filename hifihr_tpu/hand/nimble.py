@@ -1,0 +1,173 @@
+"""NIMBLE parametric hand layer (20/30/10 shape/pose/texture PCA).
+
+Implements the reference call-site contract (models_res_nimble.py:57,
+132-142): `layer(hand_params) -> {nimble_joints (B,25,3), skin_verts
+(B,5990,3), skin_albedo, mano_verts (B,778,3), textures, joints (B,21,3 in
+legacy mano order), rot}`.  The upstream NIMBLE implementation is a MISSING
+git submodule and its licensed assets are not redistributable, so this layer
+runs on the derived asset set from tools/make_nimble_assets.py (MANO-refined
+5990-vert skin mesh, exact 778-vert prefix downsample, 25 joints, smooth
+appearance PCA).  Converting the real NIMBLE release into the same npz schema
+upgrades fidelity with no code change.
+
+Pose space: 30 PCA coefficients over the finger axis-angle space (basis rows
+from the asset), global rotation from hand_params['rot'] when present (the
+reference's nimble HandEncoder has no rot head; pose coeffs absorb it — both
+are supported).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifihr_tpu.geometry.rotations import axis_angle_to_matrix
+
+_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets",
+    "nimble_placeholder.npz",
+)
+
+# legacy mano joint order used by the reference's nimble branch
+# (hand_3d_model.py:206-210): chain joints with tips inserted at 4/8/12/16/20
+_MANO_ORDER_CHAIN = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+_TIP_SLOTS = {4: 16, 8: 17, 12: 18, 16: 19, 20: 20}  # out slot -> joint25 idx
+
+
+class NimbleModel(NamedTuple):
+    v_template: np.ndarray
+    faces: np.ndarray
+    shapedirs: np.ndarray
+    J_regressor: np.ndarray
+    lbs_weights: np.ndarray
+    pose_basis: np.ndarray
+    hands_mean: np.ndarray
+    tex_mean: np.ndarray
+    tex_basis: np.ndarray
+    mano_vertex_map: np.ndarray
+    parents: np.ndarray
+
+
+@lru_cache(maxsize=2)
+def load_nimble_model(path: str | None = None) -> NimbleModel:
+    with np.load(path or _ASSET) as z:
+        return NimbleModel(**{k: z[k] for k in NimbleModel._fields})
+
+
+class NimbleLayer:
+    def __init__(self, model: NimbleModel | None = None, shape_ncomp: int = 20,
+                 pose_ncomp: int = 30, tex_ncomp: int = 10):
+        m = model or load_nimble_model()
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        self.shape_ncomp = shape_ncomp
+        self.pose_ncomp = min(pose_ncomp, m.pose_basis.shape[0])
+        self.tex_ncomp = tex_ncomp
+        self.v_template = f32(m.v_template)
+        self.skin_faces = jnp.asarray(m.faces, jnp.int32)
+        self.shapedirs = f32(m.shapedirs[..., :shape_ncomp])
+        self.J_regressor = f32(m.J_regressor)
+        self.lbs_weights = f32(m.lbs_weights)
+        self.pose_basis = f32(m.pose_basis[: self.pose_ncomp])
+        self.hands_mean = f32(m.hands_mean)
+        self.tex_mean = f32(m.tex_mean)
+        self.tex_basis = f32(m.tex_basis[..., :tex_ncomp])
+        self.mano_vertex_map = jnp.asarray(m.mano_vertex_map, jnp.int32)
+        self.parents = np.asarray(m.parents)
+        self.n_verts = m.v_template.shape[0]
+
+    def __call__(self, hand_params: dict, handle_collision: bool = False) -> dict:
+        with jax.default_matmul_precision("highest"):
+            return self._forward(hand_params)
+
+    def _forward(self, hand_params: dict) -> dict:
+        pose = hand_params["pose_params"]  # (B, 30)
+        betas = hand_params["shape_params"]  # (B, 20)
+        tex = hand_params.get("texture_params")  # (B, 10) or None
+        rot = hand_params.get("rot")
+        b = pose.shape[0]
+
+        hand_aa = self.hands_mean[None] + pose[:, : self.pose_ncomp] @ self.pose_basis
+        root_aa = rot if rot is not None else jnp.zeros((b, 3), pose.dtype)
+        full_aa = jnp.concatenate([root_aa, hand_aa], axis=1).reshape(b, 16, 3)
+        rots = axis_angle_to_matrix(full_aa)  # (B, 16, 3, 3)
+
+        v_shaped = self.v_template[None] + jnp.einsum(
+            "vds,bs->bvd", self.shapedirs, betas[:, : self.shape_ncomp]
+        )
+        joints25 = jnp.einsum("jv,bvd->bjd", self.J_regressor, v_shaped)
+        j16 = joints25[:, :16]
+
+        # kinematic chain over the 16 skinning bones (same structure as MANO)
+        parents = self.parents
+        tfs = [None] * 16
+        eye_row = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0], pose.dtype), (b, 1, 4)
+        )
+
+        def rigid(rot_m, t):
+            return jnp.concatenate(
+                [jnp.concatenate([rot_m, t[..., None]], axis=-1), eye_row], axis=-2
+            )
+
+        tfs[0] = rigid(rots[:, 0], j16[:, 0])
+        for j in range(1, 16):
+            p = int(parents[j])
+            tfs[j] = tfs[p] @ rigid(rots[:, j], j16[:, j] - j16[:, p])
+        A = jnp.stack(tfs, axis=1)  # (B, 16, 4, 4)
+        posed_j16 = A[:, :, :3, 3]
+        inv_bind = jnp.einsum("bjxy,bjy->bjx", A[:, :, :3, :3], j16)
+        A = A.at[:, :, :3, 3].add(-inv_bind)
+
+        T = jnp.einsum("vj,bjxy->bvxy", self.lbs_weights[:, :16], A)
+        v_posed = v_shaped  # placeholder assets carry no pose correctives
+        skin_verts = (
+            jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed) + T[:, :, :3, 3]
+        )
+
+        # posed 25 joints: skinning bones move rigidly; tip/palm joints
+        # regressed from the posed skin
+        derived = jnp.einsum("jv,bvd->bjd", self.J_regressor[16:], skin_verts)
+        nimble_joints = jnp.concatenate([posed_j16, derived], axis=1)
+
+        # legacy mano-order 21 joints (tips at slots 4/8/12/16/20)
+        tips = derived[:, :5]  # thumb, index, middle, ring, pinky tips
+        # legacy order inserts index,middle,pinky,ring,thumb chains; tips per
+        # chain: index->317-ish(=tips[1]), middle->tips[2], pinky->tips[4],
+        # ring->tips[3], thumb->tips[0]
+        j = posed_j16
+        joints21 = jnp.stack(
+            [
+                j[:, 0],
+                j[:, 1], j[:, 2], j[:, 3], tips[:, 1],
+                j[:, 4], j[:, 5], j[:, 6], tips[:, 2],
+                j[:, 7], j[:, 8], j[:, 9], tips[:, 4],
+                j[:, 10], j[:, 11], j[:, 12], tips[:, 3],
+                j[:, 13], j[:, 14], j[:, 15], tips[:, 0],
+            ],
+            axis=1,
+        )
+
+        albedo = self.tex_mean[None]
+        if tex is not None:
+            albedo = albedo + jnp.einsum(
+                "vdt,bt->bvd", self.tex_basis, tex[:, : self.tex_ncomp]
+            )
+        albedo = jnp.clip(albedo, 0.0, 1.0)
+        albedo = jnp.broadcast_to(albedo, (b,) + albedo.shape[1:]) if albedo.shape[0] == 1 else albedo
+
+        return {
+            "nimble_joints": nimble_joints,
+            "verts": skin_verts,
+            "skin_verts": skin_verts,
+            "skin_albedo": albedo,
+            "mano_verts": skin_verts[:, self.mano_vertex_map],
+            "textures": albedo,
+            "joints": joints21,
+            "rot": root_aa,
+        }

@@ -34,6 +34,7 @@ from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
 from hifihr_tpu.render.shading import DirectionalLight
 
 ROOT_ID = 9  # FreiHAND middle-MCP root (models_res_nimble.py:33)
+ROOT_ID_NIMBLE = 11  # nimble 25-joint root (models_res_nimble.py:33)
 
 
 class HiFiHR(nn.Module):
@@ -100,7 +101,7 @@ class HiFiHR(nn.Module):
 
         low, features = self.encoder(images, train=train)
         light_params = None
-        if cfg.light_estimation:
+        if cfg.light_estimation and low is not None:
             light_params = self.light_estimator(low)
 
         hand_params = self.hand_encoder(features, train=train)
@@ -117,7 +118,11 @@ class HiFiHR(nn.Module):
         else:  # nimble
             nimble_out = self.nimble(hand_params)
             outputs.update(nimble_out)
-            joints = nimble_out["joints"]
+            # nimble joints come in legacy mano order -> FreiHAND order
+            # (models_res_nimble.py:156)
+            from hifihr_tpu.geometry.joints import MANO_TO_FREI, remap
+
+            joints = remap(nimble_out["joints"], MANO_TO_FREI)
             verts = nimble_out["mano_verts"]
 
         # root-relative (models_res_nimble.py:159-172)
@@ -128,6 +133,14 @@ class HiFiHR(nn.Module):
         joints = joints - pred_root
         outputs["joints"] = joints
         outputs["mano_verts"] = outputs["mano_verts"] - pred_root
+        render_root = pred_root
+        if cfg.hand_model == "nimble":
+            if dat_name == "HO3D" and not mode_train:
+                nroot = outputs["nimble_joints"][:, 0:1]
+            else:
+                nroot = outputs["nimble_joints"][:, ROOT_ID_NIMBLE : ROOT_ID_NIMBLE + 1]
+            outputs["nimble_joints"] = outputs["nimble_joints"] - nroot
+            render_root = nroot  # renderer offsets by the nimble root (:169-205)
 
         if cfg.render and Ks is not None and root_xyz is not None:
             if cfg.hand_model == "mano":
@@ -135,7 +148,7 @@ class HiFiHR(nn.Module):
                 albedo = self._vertex_albedo(b)
                 faces = self.mano.faces
             else:
-                render_verts = outputs["skin_verts"] - pred_root + root_xyz
+                render_verts = outputs["skin_verts"] - render_root + root_xyz
                 albedo = outputs["skin_albedo"]
                 faces = self.nimble.skin_faces
             renderer = PhongRenderer(

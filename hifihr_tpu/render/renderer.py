@@ -56,21 +56,8 @@ class PhongRenderer:
         s = self.settings
         big = s.image_size * s.aa_factor
         K_big = _scale_intrinsics(K, float(s.aa_factor))
+        face_id, _ = self._select_faces(verts_cam, K_big, big)
         verts_screen = raster_jax.project_to_screen(verts_cam, K_big)
-        backend = s.backend
-        if backend == "auto":
-            import jax
-
-            platform = jax.devices()[0].platform
-            backend = "pallas" if platform == "tpu" else "jax"
-        if backend == "pallas":
-            from hifihr_tpu.render.raster_pallas import rasterize_face_id_pallas
-
-            face_id, _ = rasterize_face_id_pallas(verts_screen, self.faces, big)
-        else:
-            face_id, _ = raster_jax.rasterize_face_id(
-                verts_screen, self.faces, big, chunk=s.face_chunk
-            )
         frag = barycentric_coords(face_id, verts_screen, self.faces)
         return frag, verts_screen
 
@@ -82,15 +69,52 @@ class PhongRenderer:
         light: DirectionalLight | None = None,
         materials: Materials = Materials(),
     ) -> jnp.ndarray:
-        """Render -> (B, image_size, image_size, 4) RGBA, antialiased."""
-        frag, _ = self.rasterize(verts_cam, K)
-        normals = vertex_normals(verts_cam, self.faces)
-        texels = interpolate_attribute(frag, vert_colors)
-        pix_normals = interpolate_attribute(frag, normals)
-        pix_points = interpolate_attribute(frag, verts_cam)
+        """Render -> (B, image_size, image_size, 4) RGBA, antialiased.
+
+        Memory note: the supersampled per-pixel gathers are O(B * (3*224)^2 *
+        9) floats; storing them for backward OOMs HBM at useful batch sizes,
+        so the differentiable part is rematerialised (jax.checkpoint) — the
+        z-buffer face-selection pass has no gradient and runs once, outside
+        the checkpoint.
+        """
+        import jax
+
+        s = self.settings
+        big = s.image_size * s.aa_factor
+        K_big = _scale_intrinsics(K, float(s.aa_factor))
+        face_id, _ = self._select_faces(verts_cam, K_big, big)
         if light is None:
             light = DirectionalLight.default(verts_cam.shape[0], verts_cam.dtype)
-        rgb = phong_shade(texels, pix_normals, pix_points, light, materials)
-        rgb = rgb * frag["mask"][..., None]
-        rgba = jnp.concatenate([rgb, frag["mask"][..., None]], axis=-1)
-        return _avg_pool(rgba, self.settings.aa_factor)
+
+        def shade(verts_cam, vert_colors, light):
+            verts_screen = raster_jax.project_to_screen(verts_cam, K_big)
+            frag = barycentric_coords(face_id, verts_screen, self.faces)
+            normals = vertex_normals(verts_cam, self.faces)
+            # one packed gather for all per-vertex attributes
+            attrs = jnp.concatenate([vert_colors, normals, verts_cam], axis=-1)
+            pix = interpolate_attribute(frag, attrs)
+            texels, pix_normals, pix_points = pix[..., 0:3], pix[..., 3:6], pix[..., 6:9]
+            rgb = phong_shade(texels, pix_normals, pix_points, light, materials)
+            rgb = rgb * frag["mask"][..., None]
+            rgba = jnp.concatenate([rgb, frag["mask"][..., None]], axis=-1)
+            return _avg_pool(rgba, s.aa_factor)
+
+        return jax.checkpoint(shade)(verts_cam, vert_colors, light)
+
+    def _select_faces(self, verts_cam, K_big, big):
+        import jax
+
+        verts_screen = raster_jax.project_to_screen(
+            jax.lax.stop_gradient(verts_cam), K_big
+        )
+        backend = self.settings.backend
+        if backend == "auto":
+            platform = jax.devices()[0].platform
+            backend = "pallas" if platform == "tpu" else "jax"
+        if backend == "pallas":
+            from hifihr_tpu.render.raster_pallas import rasterize_face_id_pallas
+
+            return rasterize_face_id_pallas(verts_screen, self.faces, big)
+        return raster_jax.rasterize_face_id(
+            verts_screen, self.faces, big, chunk=self.settings.face_chunk
+        )

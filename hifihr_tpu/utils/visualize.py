@@ -1,0 +1,123 @@
+"""Visualisation dumps: prediction grids, OBJ export, multiview turntable.
+
+Counterpart of reference utils/visualize_util.py (displadic/displaydemo
+12-panel grids :18-175, save OBJ :640-691, multiview_render 20-view turntable
+:693-732) — trimmed to the outputs the TPU pipeline produces (NHWC arrays),
+matplotlib only at dump time (never in the jit path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from hifihr_tpu.geometry.joints import FREI_BONES
+
+_FINGER_COLORS = ["#777777", "#e41a1c", "#377eb8", "#4daf4a", "#984ea3", "#ff7f00"]
+
+
+def plot_hand(ax, j2d: np.ndarray, linewidth: float = 1.5):
+    """FreiHAND-order 21 keypoints onto a matplotlib axis."""
+    for b, (pa, ch) in enumerate(FREI_BONES):
+        color = _FINGER_COLORS[1 + b // 4]
+        ax.plot([j2d[pa, 0], j2d[ch, 0]], [j2d[pa, 1], j2d[ch, 1]],
+                color=color, linewidth=linewidth)
+    ax.scatter(j2d[:, 0], j2d[:, 1], s=4, c="k", zorder=3)
+
+
+def save_prediction_grid(path: str, examples: dict, outputs: dict, max_rows: int = 4):
+    """Panel grid per sample: input / input+gt2d / input+pred2d / render / sil.
+
+    Mirrors displaydemo's layout (visualize_util.py:640-691).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    imgs = np.asarray(examples["imgs"])
+    n = min(len(imgs), max_rows)
+    cols = 2
+    cols += 1 if "j2d" in outputs else 0
+    cols += 1 if "re_img" in outputs else 0
+    cols += 1 if "re_sil" in outputs else 0
+    fig, axes = plt.subplots(n, cols, figsize=(2.2 * cols, 2.2 * n), squeeze=False)
+    for r in range(n):
+        c = 0
+        axes[r][c].imshow(imgs[r]); axes[r][c].set_title("input"); c += 1
+        axes[r][c].imshow(imgs[r])
+        if "j2d_gt" in examples:
+            plot_hand(axes[r][c], np.asarray(examples["j2d_gt"])[r])
+        axes[r][c].set_title("gt 2d"); c += 1
+        if "j2d" in outputs:
+            axes[r][c].imshow(imgs[r])
+            plot_hand(axes[r][c], np.asarray(outputs["j2d"])[r])
+            axes[r][c].set_title("pred 2d"); c += 1
+        if "re_img" in outputs:
+            axes[r][c].imshow(np.clip(np.asarray(outputs["re_img"])[r], 0, 1))
+            axes[r][c].set_title("render"); c += 1
+        if "re_sil" in outputs:
+            axes[r][c].imshow(np.asarray(outputs["re_sil"])[r, ..., 0], cmap="gray")
+            axes[r][c].set_title("sil"); c += 1
+        for ax in axes[r]:
+            ax.axis("off")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
+             vert_colors: np.ndarray | None = None):
+    """Write an OBJ (with optional per-vertex colors; replaces
+    save_textured_nimble's textured dump for the vertex-color pipeline)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for i, v in enumerate(np.asarray(verts)):
+            if vert_colors is not None:
+                c = np.asarray(vert_colors)[i]
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
+            else:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for tri in np.asarray(faces):
+            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+    return path
+
+
+def multiview_render(verts: np.ndarray, faces, vert_colors, image_size: int = 224,
+                     n_views: int = 20, distance: float = 0.5):
+    """Turntable renders around the hand (visualize_util.py:693-732).
+
+    Returns (n_views, image_size, image_size, 4) numpy RGBA.
+    """
+    import jax.numpy as jnp
+
+    from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+    renderer = PhongRenderer(
+        np.asarray(faces), RenderSettings(image_size=image_size, aa_factor=2, backend="auto")
+    )
+    f = image_size * 1.8
+    K = jnp.asarray(
+        [[[f, 0, image_size / 2], [0, f, image_size / 2], [0, 0, 1]]], jnp.float32
+    )
+    center = np.asarray(verts).mean(0)
+    frames = []
+    for k in range(n_views):
+        theta = 2 * np.pi * k / n_views
+        rot = np.asarray(
+            [
+                [np.cos(theta), 0, np.sin(theta)],
+                [0, 1, 0],
+                [-np.sin(theta), 0, np.cos(theta)],
+            ],
+            np.float32,
+        )
+        v = (np.asarray(verts) - center) @ rot.T + np.asarray([0, 0, distance])
+        rgba = renderer(
+            jnp.asarray(v[None]), jnp.asarray(np.asarray(vert_colors)[None]), K
+        )
+        frames.append(np.asarray(rgba[0]))
+    return np.stack(frames)

@@ -75,3 +75,25 @@ def test_mmpool_mix():
     # p=0 -> sigmoid=0.5 -> 0.5*max + 0.5*avg
     expect_b1 = 0.5 * 3.0 + 0.5 * float(np.mean(np.asarray(x[1])))
     np.testing.assert_allclose(out[1, 0], expect_b1, rtol=1e-6)
+
+
+def test_effnet_encoder_shapes():
+    from hifihr_tpu.networks.efficientnet import EffNetEncoder
+
+    model = EffNetEncoder(variant="effb3")
+    x = jnp.zeros((1, 224, 224, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    low, feat = model.apply(vars_, x, train=False)
+    assert low.shape == (1, 56, 56, 32)  # flattened block idx 4 output
+    assert feat.shape == (1, 1536)
+
+
+def test_hrnet_encoder_shapes():
+    from hifihr_tpu.networks.hrnet import HRNetEncoder
+
+    model = HRNetEncoder()
+    x = jnp.zeros((1, 224, 224, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+    low, feat = model.apply(vars_, x, train=False)
+    assert low is None  # hr18sv2 provides no low-level features (ref parity)
+    assert feat.shape == (1, 1024)
