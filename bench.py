@@ -14,10 +14,19 @@ BASELINE.json.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import numpy as np
+
+# persistent compilation cache: the flagship graph takes many minutes to
+# compile cold on the remote-compile TPU path; cache makes reruns instant
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/hifihr_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 REF_GPU_IMAGES_PER_SEC = 30.0  # estimated PyTorch+V100 reference throughput
 

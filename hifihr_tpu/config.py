@@ -51,8 +51,11 @@ class Config:
     controlled_size: int = 3000
     semi_ratio: float | None = None
 
-    # losses
+    # losses (losses_frei/_rhd override per dataset under ConcatLoader mixing,
+    # reference options/train_options.py:51-53)
     losses: tuple = ("mscale",)
+    losses_frei: tuple = ()
+    losses_rhd: tuple = ()
     base_loss_fn: str = "L2"
     lambda_laplacian: float = 0.1
     lambda_texture: float = 0.003

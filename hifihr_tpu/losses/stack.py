@@ -62,7 +62,14 @@ class LossComputer:
         sched: Mapping[str, jnp.ndarray] | None = None,
     ) -> dict:
         cfg = self.config
-        loss_used = cfg.losses
+        # per-dataset loss-set overrides for mixed-dataset training
+        # (reference args.losses_frei/losses_rhd, train_hrnet.py per-batch)
+        if dat_name == "FreiHand" and cfg.losses_frei:
+            loss_used = cfg.losses_frei
+        elif dat_name == "RHD" and cfg.losses_rhd:
+            loss_used = cfg.losses_rhd
+        else:
+            loss_used = cfg.losses
         sched = sched or {}
         lam_j2d_gt = sched.get("lambda_j2d_gt", cfg.lambda_at_epoch("j2d_gt", 0))
         lam_shape = sched.get("lambda_shape", cfg.lambda_at_epoch("shape", 0))

@@ -106,16 +106,26 @@ class Trainer:
         return rec
 
     def evaluate(self, epoch: int = -1) -> dict:
-        """FreiHAND-style eval: PA-MPJPE / PA-MPVPE in cm (train_hrnet.py:216-250)."""
+        """FreiHAND-style eval: PA-MPJPE / PA-MPVPE in cm (train_hrnet.py:216-250),
+        per-batch texture metrics when rendering (:148-161), and the HO3D
+        pred.json submission dump (:284-293)."""
         if self.val_loader is None:
             return {}
         xyz_pred, verts_pred = [], []
+        tex_metrics: list[dict] = []
+        dat_name = "FreiHand"
         for batch in self.val_loader:
             dat_name = batch.get("dataset", "FreiHand")
             dev_batch = _to_device_batch(batch, self.mesh)
             out = self._step_for(dat_name, train=False)(self.state, dev_batch)
             xyz_pred.append(np.asarray(out["joints"]))
             verts_pred.append(np.asarray(out["mano_verts"]))
+            if "re_img" in out and "segms_gt" in dev_batch:
+                m = M.texture_metrics(
+                    out["re_img"], out["re_sil"], dev_batch["imgs"],
+                    gt_mask=dev_batch["segms_gt"],
+                )
+                tex_metrics.append({k: float(v) for k, v in m.items()})
         xyz_pred = np.concatenate(xyz_pred)
         verts_pred = np.concatenate(verts_pred)
         result = {"epoch": epoch}
@@ -125,6 +135,16 @@ class Trainer:
             gt_verts = jnp.asarray(self.eval_gt["verts"][:n])
             result["pa_mpjpe_cm"] = float(M.pa_mpjpe(jnp.asarray(xyz_pred[:n]), gt_xyz)) * 100
             result["pa_mpvpe_cm"] = float(M.pa_mpjpe(jnp.asarray(verts_pred[:n]), gt_verts)) * 100
+        if tex_metrics:
+            for k in tex_metrics[0]:
+                result[f"tex_{k}"] = float(np.mean([m[k] for m in tex_metrics]))
+        if dat_name == "HO3D":
+            from hifihr_tpu.training.submission import dump_predictions
+
+            result["pred_json"] = dump_predictions(
+                os.path.join(self.out_dir, "json", "pred.json"),
+                xyz_pred, verts_pred, dat_name="HO3D",
+            )
         self._log({"eval": result})
         return result
 

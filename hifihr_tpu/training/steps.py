@@ -63,11 +63,25 @@ def _forward(model, params, batch_stats, batch, dat_name, config, train: bool):
     return outputs, mutated
 
 
+def _root_center_targets(batch: dict, dat_name: str) -> dict:
+    """GT joints/verts -> root-relative, like the reference driver
+    (train_hrnet.py:64-68).  Loaders emit camera-absolute targets + root_xyz;
+    the model predicts root-relative geometry."""
+    if "root_xyz" in batch and "joints" in batch and dat_name != "HO3D_eval":
+        batch = dict(batch)
+        batch["joints"] = batch["joints"] - batch["root_xyz"]
+        if "verts" in batch:
+            batch["verts"] = batch["verts"] - batch["root_xyz"]
+    return batch
+
+
 def make_train_step(model, loss_computer: LossComputer, dat_name: str, config: Config) -> Callable:
     """Returns jitted train_step(state, batch, sched) -> (state, loss_dict)."""
 
     @jax.jit
     def train_step(state, batch, sched):
+        batch = _root_center_targets(batch, dat_name)
+
         def loss_fn(params):
             outputs, mutated = _forward(
                 model, params, state.batch_stats, batch, dat_name, config, train=True

@@ -51,6 +51,16 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(config, steps_per_epoch)
+    # module freezing (reference utils/train_utils.py:205-240):
+    # only_train_texture freezes the encoder + pose/shape regression so only
+    # texture/light heads train; only_train_regressor freezes the encoder.
+    frozen: tuple[str, ...] = ()
+    if config.only_train_regressor:
+        frozen = ("encoder", "light_estimator")
+    elif config.only_train_texture:
+        frozen = ("encoder",)
+    frozen = tuple(k for k in frozen if k in params)
+    tx = freeze_submodules(tx, params, frozen)
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
     )
