@@ -67,17 +67,22 @@ def main():
     step = make_train_step(model, lc, "FreiHand", cfg)
     sched = make_sched(cfg, 0)
 
-    # compile + warmup
-    state, loss_dic = step(state, batch, sched)
-    jax.block_until_ready(loss_dic["total"])
-
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
+    # compile + warmup (2 steps)
+    for _ in range(2):
         state, loss_dic = step(state, batch, sched)
     jax.block_until_ready(loss_dic["total"])
-    dt = time.perf_counter() - t0
 
-    ips = BATCH * STEPS / dt
+    # synchronise every step: robust against async/dispatch artifacts on
+    # tunneled backends, at the cost of a pipeline bubble per step
+    times = []
+    for _ in range(STEPS):
+        t0 = time.perf_counter()
+        state, loss_dic = step(state, batch, sched)
+        total = float(loss_dic["total"])  # forces execution
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(total)
+    dt = float(np.median(times))
+    ips = BATCH / dt
     print(
         json.dumps(
             {

@@ -33,6 +33,9 @@ class Config:
     four_channel: bool = False
     image_size: int = 224
     aa_factor: int = 3
+    # 'msaa' = in-kernel subsample coverage (fast; identical silhouette alpha);
+    # 'ssaa' = reference-exact supersampled shading + average pool
+    aa_mode: str = "msaa"
 
     # data
     train_datasets: tuple = ("FreiHand",)

@@ -153,7 +153,8 @@ class HiFiHR(nn.Module):
                 faces = self.nimble.skin_faces
             renderer = PhongRenderer(
                 faces,
-                RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor),
+                RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor,
+                               aa_mode=cfg.aa_mode),
             )
             if light_params is not None:
                 light = DirectionalLight.from_estimator(

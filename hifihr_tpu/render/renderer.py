@@ -29,9 +29,13 @@ from hifihr_tpu.render.shading import DirectionalLight, Materials, phong_shade
 
 class RenderSettings(NamedTuple):
     image_size: int = 224
-    aa_factor: int = 3  # supersampling (reference uses 224*3)
+    aa_factor: int = 3  # subsample grid (reference supersamples 224*3)
     backend: str = "auto"  # 'pallas' | 'jax' | 'auto'
     face_chunk: int = 128  # lax.scan chunk for the jax backend
+    # 'msaa': in-kernel 3x3 subsample coverage, shade at base res (fast;
+    #         alpha identical to the reference's pooled alpha).
+    # 'ssaa': reference-exact supersampled shading + average pool.
+    aa_mode: str = "msaa"
 
 
 def _scale_intrinsics(K: jnp.ndarray, s: float) -> jnp.ndarray:
@@ -80,11 +84,30 @@ class PhongRenderer:
         import jax
 
         s = self.settings
+        if light is None:
+            light = DirectionalLight.default(verts_cam.shape[0], verts_cam.dtype)
+
+        if s.aa_mode == "msaa":
+            K_base = K
+            face_id, coverage = self._select_faces_msaa(verts_cam, K_base)
+
+            def shade(verts_cam, vert_colors, light):
+                verts_screen = raster_jax.project_to_screen(verts_cam, K_base)
+                frag = barycentric_coords(face_id, verts_screen, self.faces)
+                normals = vertex_normals(verts_cam, self.faces)
+                attrs = jnp.concatenate([vert_colors, normals, verts_cam], axis=-1)
+                pix = interpolate_attribute(frag, attrs)
+                texels, pix_n, pix_p = pix[..., 0:3], pix[..., 3:6], pix[..., 6:9]
+                rgb = phong_shade(texels, pix_n, pix_p, light, materials)
+                # coverage-weighted color: matches SSAA at silhouettes
+                rgb = rgb * coverage[..., None]
+                return jnp.concatenate([rgb, coverage[..., None]], axis=-1)
+
+            return jax.checkpoint(shade)(verts_cam, vert_colors, light)
+
         big = s.image_size * s.aa_factor
         K_big = _scale_intrinsics(K, float(s.aa_factor))
         face_id, _ = self._select_faces(verts_cam, K_big, big)
-        if light is None:
-            light = DirectionalLight.default(verts_cam.shape[0], verts_cam.dtype)
 
         def shade(verts_cam, vert_colors, light):
             verts_screen = raster_jax.project_to_screen(verts_cam, K_big)
@@ -100,6 +123,43 @@ class PhongRenderer:
             return _avg_pool(rgba, s.aa_factor)
 
         return jax.checkpoint(shade)(verts_cam, vert_colors, light)
+
+    def _select_faces_msaa(self, verts_cam, K_base):
+        """(face_id, coverage) at base resolution via the MSAA kernel, or an
+        SSAA-derived emulation on non-TPU backends (test parity)."""
+        import jax
+
+        s = self.settings
+        verts_screen = raster_jax.project_to_screen(
+            jax.lax.stop_gradient(verts_cam), K_base
+        )
+        backend = s.backend
+        if backend == "auto":
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "jax"
+        if backend == "pallas":
+            from hifihr_tpu.render.raster_msaa import rasterize_msaa_pallas
+
+            face_id, coverage, _ = rasterize_msaa_pallas(
+                verts_screen, self.faces, s.image_size, samples=s.aa_factor
+            )
+            return face_id, coverage
+        # emulate: supersampled select, pooled coverage, nearest-face reduce
+        big = s.image_size * s.aa_factor
+        K_big = _scale_intrinsics(K_base, float(s.aa_factor))
+        vs_big = raster_jax.project_to_screen(jax.lax.stop_gradient(verts_cam), K_big)
+        fid_big, zbuf_big = raster_jax.rasterize_face_id(
+            vs_big, self.faces, big, chunk=s.face_chunk
+        )
+        a = s.aa_factor
+        b_, h, w = fid_big.shape
+        fid_blk = fid_big.reshape(b_, h // a, a, w // a, a).transpose(0, 1, 3, 2, 4)
+        z_blk = zbuf_big.reshape(b_, h // a, a, w // a, a).transpose(0, 1, 3, 2, 4)
+        coverage = jnp.mean((fid_blk >= 0).astype(jnp.float32), axis=(-1, -2))
+        z_flat = z_blk.reshape(*z_blk.shape[:3], a * a)
+        f_flat = fid_blk.reshape(*fid_blk.shape[:3], a * a)
+        nearest = jnp.argmin(z_flat, axis=-1)
+        face_id = jnp.take_along_axis(f_flat, nearest[..., None], axis=-1)[..., 0]
+        return face_id, coverage
 
     def _select_faces(self, verts_cam, K_big, big):
         import jax

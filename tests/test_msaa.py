@@ -1,0 +1,67 @@
+"""MSAA mode: coverage parity with SSAA, kernel parity with emulation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hifihr_tpu.render.raster_jax import project_to_screen
+from hifihr_tpu.render.raster_msaa import rasterize_msaa_pallas
+from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+S = 32
+
+
+def _scene():
+    K = jnp.asarray([[[float(S), 0, S / 2], [0, float(S), S / 2], [0, 0, 1]]])
+    verts = jnp.asarray([[[-0.4, -0.4, 1.0], [0.4, -0.4, 1.0], [0.0, 0.45, 1.0]]])
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    colors = jnp.ones_like(verts) * 0.7
+    return K, verts, faces, colors
+
+
+def test_msaa_kernel_matches_emulation(rng):
+    K, verts, faces, _ = _scene()
+    vs = project_to_screen(verts, K)
+    fid_k, cov_k, _ = rasterize_msaa_pallas(vs, jnp.asarray(faces), S, samples=3,
+                                            interpret=True)
+    renderer = PhongRenderer(faces, RenderSettings(S, 3, backend="jax",
+                                                   face_chunk=4, aa_mode="msaa"))
+    fid_e, cov_e = renderer._select_faces_msaa(verts, K)
+    np.testing.assert_allclose(np.asarray(cov_k), np.asarray(cov_e), atol=1e-6)
+    # face ids agree wherever covered
+    covered = np.asarray(cov_e) > 0
+    np.testing.assert_array_equal(
+        np.asarray(fid_k)[covered] >= 0, np.asarray(fid_e)[covered] >= 0
+    )
+
+
+def test_msaa_alpha_equals_ssaa_pooled_alpha():
+    K, verts, faces, colors = _scene()
+    r_msaa = PhongRenderer(faces, RenderSettings(S, 3, backend="jax", face_chunk=4,
+                                                 aa_mode="msaa"))
+    r_ssaa = PhongRenderer(faces, RenderSettings(S, 3, backend="jax", face_chunk=4,
+                                                 aa_mode="ssaa"))
+    rgba_m = np.asarray(r_msaa(verts, colors, K))
+    rgba_s = np.asarray(r_ssaa(verts, colors, K))
+    np.testing.assert_allclose(rgba_m[..., 3], rgba_s[..., 3], atol=1e-6)
+    # interior RGB matches closely (flat-shaded triangle)
+    interior = rgba_s[..., 3] == 1.0
+    assert interior.sum() > 20
+    np.testing.assert_allclose(
+        rgba_m[..., :3][interior], rgba_s[..., :3][interior], atol=0.02
+    )
+
+
+def test_msaa_gradients_finite():
+    import jax
+
+    K, verts, faces, colors = _scene()
+    renderer = PhongRenderer(faces, RenderSettings(S, 3, backend="jax", face_chunk=4,
+                                                   aa_mode="msaa"))
+
+    def f(v, c):
+        return jnp.sum(renderer(v, c, K)[..., :3])
+
+    g = jax.grad(f, argnums=(0, 1))(verts, colors)
+    for x in g:
+        assert np.all(np.isfinite(np.asarray(x)))
+    assert float(jnp.abs(g[1]).max()) > 0
