@@ -60,10 +60,23 @@ class BatchLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
+        rng = np.random.RandomState(self.seed + self.epoch + 12345)
         for start in range(0, n - self.batch_size + 1 if self.drop_last else n,
                            self.batch_size):
             idxs = order[start : start + self.batch_size]
-            batch = collate([self.dataset.get_sample(int(i)) for i in idxs])
+            samples = []
+            for i in idxs:
+                # corrupt-sample fault tolerance: substitute a random sample
+                # (reference data/dataset.py:1391-1399) but LOG it instead of
+                # silently masking data bugs
+                try:
+                    samples.append(self.dataset.get_sample(int(i)))
+                except Exception as exc:  # noqa: BLE001
+                    import logging
+
+                    logging.warning("sample %d failed (%s); substituting", i, exc)
+                    samples.append(self.dataset.get_sample(int(rng.randint(n))))
+            batch = collate(samples)
             batch["dataset"] = getattr(self.dataset, "name", "unknown")
             yield batch
 

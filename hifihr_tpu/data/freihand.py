@@ -62,12 +62,14 @@ class FreiHand:
         queries: tuple = ("images", "Ks", "joints", "verts", "scales"),
         max_rot: float = np.pi,
         train: bool | None = None,
+        semi_ratio: float | None = None,
     ):
         self.base_path = base_path
         self.split = split
         self.queries = tuple(queries)
         self.max_rot = max_rot
         self.train = train if train is not None else split in ("training", "trainval")
+        self.semi_ratio = semi_ratio
         self._rng = np.random.RandomState(0)
 
         prefix = "evaluation" if split == "evaluation" else "training"
@@ -159,11 +161,14 @@ class FreiHand:
             if "masks" in q:
                 sample["segms_gt"] = mask
 
-        # texture confidence: openpose mean conf, color versions beyond the
-        # first get 0 conf for photometric sup (traineval_util.py:62-66)
+        # texture confidence (traineval_util.py:60-66): zero when any keypoint
+        # conf <= 0.1, else mean conf; color versions beyond the first get a
+        # 0.1x weight (idx>=32560 -> factor 0.1 instead of 1.1)
         if "open_2dj" in sample:
-            con = float(np.mean(sample["open_2dj_con"]))
-            sample["texture_con"] = np.float32(con if idx < DB_SIZE_TRAIN else 0.0)
+            con = sample["open_2dj_con"][:, 0]
+            gate = float(con.min() > 0.1)
+            idx_con = 1.1 if idx < DB_SIZE_TRAIN else 0.1
+            sample["texture_con"] = np.float32(gate * float(con.mean()) * idx_con)
 
         if self.train and "trans_images" in q:
             center = np.asarray([112, 112])
@@ -195,6 +200,24 @@ class FreiHand:
                 sample["open_2dj"] = crops.transform_coords(
                     sample["open_2dj"], affinetrans
                 ).astype(np.float32)
+
+        # j2d_gt is DERIVED by projecting (possibly augmented) joints with the
+        # (possibly updated) K (traineval_util.py:75-79, 100-104)
+        if "joints" in sample and "Ks" in sample:
+            uvw = sample["joints"] @ sample["Ks"].T
+            sample["j2d_gt"] = (uvw[:, :2] / uvw[:, 2:3]).astype(np.float32)
+
+        # semi-supervision mixing (traineval_util.py:106-111): samples with
+        # raw idx below the ratio threshold use GT 2D as pseudo-labels at
+        # confidence 1
+        if (
+            self.semi_ratio is not None
+            and "j2d_gt" in sample
+            and "open_2dj" in sample
+            and gt < DB_SIZE_TRAIN * self.semi_ratio
+        ):
+            sample["open_2dj"] = sample["j2d_gt"].copy()
+            sample["open_2dj_con"] = np.ones_like(sample["open_2dj_con"])
 
         if "joints" in sample:
             sample["root_xyz"] = sample["joints"][9:10].copy()

@@ -44,6 +44,15 @@ class HiFiHR(nn.Module):
 
     def setup(self):
         cfg = self.config
+        if cfg.hand_model == "mano_new":
+            # YTBHand baseline (reference utils/Freihand_GNN_mano/
+            # mano_network_PCA.py:155-226): ResNet50 -> beta(10)+theta(48)
+            # -> MANO verts; joints regressed from the mesh by the driver.
+            self.encoder = ResNetEncoder(variant="res50")
+            self.beta_head = [nn.Dense(512, name="beta_fc0"), nn.Dense(10, name="beta_fc1")]
+            self.theta_head = [nn.Dense(512, name="theta_fc0"), nn.Dense(48, name="theta_fc1")]
+            self.mano = ManoLayer(ncomps=45)
+            return
         if cfg.pretrain in ("res18", "res50", "res101"):
             self.encoder = ResNetEncoder(variant=cfg.pretrain)
             feat_dim = 512 if cfg.pretrain == "res18" else 2048
@@ -98,6 +107,30 @@ class HiFiHR(nn.Module):
     ) -> dict[str, Any]:
         cfg = self.config
         b = images.shape[0]
+
+        if cfg.hand_model == "mano_new":
+            _, feat = self.encoder(images, train=train)
+            beta = feat
+            for layer in self.beta_head[:-1]:
+                beta = nn.relu(layer(beta))
+            beta = self.beta_head[-1](beta)
+            if cfg.use_mean_shape:
+                beta = jnp.zeros_like(beta)
+            theta = feat
+            for layer in self.theta_head[:-1]:
+                theta = nn.relu(layer(theta))
+            theta = self.theta_head[-1](theta)
+            mano_out = self.mano(theta, beta)
+            joints = regress_joints_frei(mano_out.verts, self.mano.J_regressor)
+            root = joints[:, ROOT_ID : ROOT_ID + 1]
+            return {
+                "pose_params": theta,
+                "shape_params": beta,
+                "verts": mano_out.verts,
+                "mano_verts": mano_out.verts - root,
+                "joints": joints - root,
+                "mano_faces": self.mano.faces,
+            }
 
         low, features = self.encoder(images, train=train)
         light_params = None

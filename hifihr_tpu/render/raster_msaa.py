@@ -12,8 +12,14 @@ resolution and outputs per-pixel:
              alpha is exactly the covered-subsample fraction), so silhouettes
              are bit-comparable; only within-pixel shading variation differs.
 
-Shading then runs once per output pixel (9x less interpolation/Phong work,
-9x fewer scalar face-loop iterations than tiling the supersampled image).
+Shading then runs once per output pixel (9x less interpolation/Phong work).
+
+Binning: faces are bucketed per pixel tile on the host (bbox/tile overlap)
+and their vertex data gathered into a per-tile table — valid rows first, a
+z=0 sentinel row marking the end.  The kernel walks its tile's table with an
+early-exit while_loop over *sequential sublane rows* (Mosaic allows dynamic
+sublane indexing but not dynamic lane indexing), so empty tiles cost ~nothing
+and busy tiles only touch overlapping faces.
 """
 
 from __future__ import annotations
@@ -25,70 +31,63 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_ROW = 16  # padded row: [ax ay az bx by bz cx cy cz face_id 0...]
 
-def _kernel(tri_ref, fid_ref, zbuf_ref, cov_ref, *, tile: int, n_faces: int,
-            samples: int):
+
+def _kernel(tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int, tile_w: int,
+            n_bin: int, samples: int):
     i = pl.program_id(1)
     j = pl.program_id(2)
-    row0 = (i * tile).astype(jnp.float32)
-    col0 = (j * tile).astype(jnp.float32)
+    row0 = (i * tile_h).astype(jnp.float32)
+    col0 = (j * tile_w).astype(jnp.float32)
+    shape = (tile_h, tile_w)
 
-    base_v = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0).astype(jnp.float32) + row0
-    base_u = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1).astype(jnp.float32) + col0
+    base_v = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32) + row0
+    base_u = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32) + col0
 
-    fid_ref[0] = jnp.full((tile, tile), -1, jnp.int32)
-    zbuf_ref[0] = jnp.full((tile, tile), jnp.inf, jnp.float32)
-    cov_ref[0] = jnp.zeros((tile, tile), jnp.int32)
+    fid_ref[0] = jnp.full(shape, -1, jnp.int32)
+    zbuf_ref[0] = jnp.full(shape, jnp.inf, jnp.float32)
+    cov_ref[0] = jnp.zeros(shape, jnp.int32)
 
     n_sub = samples * samples
 
-    def body(f, carry):
-        ax, ay, az = tri_ref[0, f, 0], tri_ref[0, f, 1], tri_ref[0, f, 2]
-        bx, by, bz = tri_ref[0, f, 3], tri_ref[0, f, 4], tri_ref[0, f, 5]
-        cx, cy, cz = tri_ref[0, f, 6], tri_ref[0, f, 7], tri_ref[0, f, 8]
+    def cond(k):
+        # sentinel rows have z == 0 (valid faces require z > 1e-6)
+        return jnp.logical_and(k < n_bin, tab_ref[0, 0, k, 2] > 1e-6)
 
-        zvalid = jnp.minimum(jnp.minimum(az, bz), cz) > 1e-6
-        umin = jnp.minimum(jnp.minimum(ax, bx), cx)
-        umax = jnp.maximum(jnp.maximum(ax, bx), cx)
-        vmin = jnp.minimum(jnp.minimum(ay, by), cy)
-        vmax = jnp.maximum(jnp.maximum(ay, by), cy)
-        overlap = (
-            (umax >= col0)
-            & (umin < col0 + tile)
-            & (vmax >= row0)
-            & (vmin < row0 + tile)
-        )
+    def body(k):
+        ax, ay, az = tab_ref[0, 0, k, 0], tab_ref[0, 0, k, 1], tab_ref[0, 0, k, 2]
+        bx, by, bz = tab_ref[0, 0, k, 3], tab_ref[0, 0, k, 4], tab_ref[0, 0, k, 5]
+        cx, cy, cz = tab_ref[0, 0, k, 6], tab_ref[0, 0, k, 7], tab_ref[0, 0, k, 8]
+        f = tab_ref[0, 0, k, 9].astype(jnp.int32)
 
-        @pl.when(zvalid & overlap)
-        def _():
-            cov_bits = cov_ref[0]
-            zb = zbuf_ref[0]
-            fid = fid_ref[0]
-            best_z = jnp.full((tile, tile), jnp.inf, jnp.float32)
-            for sy in range(samples):
-                for sx in range(samples):
-                    u = base_u + (sx + 0.5) / samples
-                    v = base_v + (sy + 0.5) / samples
-                    e0 = (cx - bx) * (v - by) - (cy - by) * (u - bx)
-                    e1 = (ax - cx) * (v - cy) - (ay - cy) * (u - cx)
-                    e2 = (bx - ax) * (v - ay) - (by - ay) * (u - ax)
-                    area = e0 + e1 + e2
-                    area_ok = jnp.abs(area) > 1e-12
-                    area_safe = jnp.where(area_ok, area, 1e-12)
-                    w0, w1, w2 = e0 / area_safe, e1 / area_safe, e2 / area_safe
-                    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & area_ok
-                    z = w0 * az + w1 * bz + w2 * cz
-                    s_idx = sy * samples + sx
-                    cov_bits = jnp.where(inside, cov_bits | (1 << s_idx), cov_bits)
-                    best_z = jnp.where(inside & (z < best_z), z, best_z)
-            better = best_z < zb
-            zbuf_ref[0] = jnp.where(better, best_z, zb)
-            fid_ref[0] = jnp.where(better, jnp.full((tile, tile), f, jnp.int32), fid)
-            cov_ref[0] = cov_bits
+        cov_bits = cov_ref[0]
+        zb = zbuf_ref[0]
+        fid = fid_ref[0]
+        best_z = jnp.full(shape, jnp.inf, jnp.float32)
+        for sy in range(samples):
+            for sx in range(samples):
+                u = base_u + (sx + 0.5) / samples
+                v = base_v + (sy + 0.5) / samples
+                e0 = (cx - bx) * (v - by) - (cy - by) * (u - bx)
+                e1 = (ax - cx) * (v - cy) - (ay - cy) * (u - cx)
+                e2 = (bx - ax) * (v - ay) - (by - ay) * (u - ax)
+                area = e0 + e1 + e2
+                area_ok = jnp.abs(area) > 1e-12
+                area_safe = jnp.where(area_ok, area, 1e-12)
+                w0, w1, w2 = e0 / area_safe, e1 / area_safe, e2 / area_safe
+                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & area_ok
+                z = w0 * az + w1 * bz + w2 * cz
+                s_idx = sy * samples + sx
+                cov_bits = jnp.where(inside, cov_bits | (1 << s_idx), cov_bits)
+                best_z = jnp.where(inside & (z < best_z), z, best_z)
+        better = best_z < zb
+        zbuf_ref[0] = jnp.where(better, best_z, zb)
+        fid_ref[0] = jnp.where(better, jnp.broadcast_to(f, shape), fid)
+        cov_ref[0] = cov_bits
+        return k + 1
 
-        return carry
-
-    jax.lax.fori_loop(0, n_faces, body, None)
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
     # popcount of the coverage bitmask -> covered-subsample count
     bits = cov_ref[0]
@@ -99,13 +98,15 @@ def _kernel(tri_ref, fid_ref, zbuf_ref, cov_ref, *, tile: int, n_faces: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "tile", "samples", "interpret")
+    jax.jit,
+    static_argnames=("image_size", "tile", "tile_h", "samples", "interpret"),
 )
 def rasterize_msaa_pallas(
     verts_screen: jnp.ndarray,  # (B, V, 3) [u, v, z] at BASE resolution
     faces: jnp.ndarray,
     image_size: int,
-    tile: int = 128,
+    tile: int = 128,  # tile width (lane dim; multiples of 128)
+    tile_h: int = 32,  # tile height (sublane dim); small tiles => tight bins
     samples: int = 3,
     interpret: bool = False,
 ):
@@ -114,32 +115,76 @@ def rasterize_msaa_pallas(
     B = verts_screen.shape[0]
     F = faces.shape[0]
     S = image_size
-    S_pad = -(-S // tile) * tile
+    W_pad = -(-S // tile) * tile
+    H_pad = -(-S // tile_h) * tile_h
+    ntx = W_pad // tile
+    nty = H_pad // tile_h
 
     tri = verts_screen[:, faces].reshape(B, F, 9).astype(jnp.float32)
-    f_pad = (-F) % 8
-    if f_pad:
-        tri = jnp.concatenate([tri, jnp.zeros((B, f_pad, 9), jnp.float32)], axis=1)
+    n_bin = -(-(F + 1) // 8) * 8  # +1 guarantees room for a sentinel row
 
-    grid = (B, S_pad // tile, S_pad // tile)
+    # host-side binning: per (image, tile) gather of bbox-overlapping faces
+    umin = jnp.min(tri[:, :, 0::3], axis=-1)  # (B, F)
+    umax = jnp.max(tri[:, :, 0::3], axis=-1)
+    vmin = jnp.min(tri[:, :, 1::3], axis=-1)
+    vmax = jnp.max(tri[:, :, 1::3], axis=-1)
+    zok = jnp.min(tri[:, :, 2::3], axis=-1) > 1e-6
+
+    tx = jnp.arange(ntx, dtype=jnp.float32) * tile
+    ty = jnp.arange(nty, dtype=jnp.float32) * tile_h
+    ov_u = (umax[:, None, :] >= tx[None, :, None]) & (
+        umin[:, None, :] < tx[None, :, None] + tile
+    )  # (B, ntx, F)
+    ov_v = (vmax[:, None, :] >= ty[None, :, None]) & (
+        vmin[:, None, :] < ty[None, :, None] + tile_h
+    )  # (B, nty, F)
+    overlap = (
+        ov_v[:, :, None, :] & ov_u[:, None, :, :] & zok[:, None, None, :]
+    ).reshape(B * nty * ntx, F)
+
+    row = jnp.concatenate(
+        [
+            tri,
+            jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None, :, None], (B, F, 1)),
+            jnp.zeros((B, F, _ROW - 10), jnp.float32),
+        ],
+        axis=-1,
+    )  # (B, F, 16)
+
+    def bin_one(mask, rows):
+        idx = jnp.where(mask, size=n_bin, fill_value=-1)[0]
+        gathered = rows[jnp.maximum(idx, 0)]
+        return jnp.where((idx >= 0)[:, None], gathered, 0.0)
+
+    rows_rep = jnp.broadcast_to(
+        row[:, None], (B, nty * ntx, F, _ROW)
+    ).reshape(B * nty * ntx, F, _ROW)
+    tab = jax.vmap(bin_one)(overlap, rows_rep).reshape(B, nty * ntx, n_bin, _ROW)
+
+    grid = (B, nty, ntx)
     fid, zbuf, cov = pl.pallas_call(
-        functools.partial(_kernel, tile=tile, n_faces=F, samples=samples),
+        functools.partial(
+            _kernel, tile_h=tile_h, tile_w=tile, n_bin=n_bin, samples=samples
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tri.shape[1], 9), lambda b, i, j: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, n_bin, _ROW),
+                lambda b, i, j, _ntx=ntx: (b, i * _ntx + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S_pad, S_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, S_pad, S_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, S_pad, S_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, H_pad, W_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, H_pad, W_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, H_pad, W_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(tri)
+    )(tab)
     coverage = cov[:, :S, :S].astype(jnp.float32) / float(samples * samples)
     return fid[:, :S, :S], coverage, zbuf[:, :S, :S]

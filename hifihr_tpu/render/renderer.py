@@ -103,7 +103,9 @@ class PhongRenderer:
                 rgb = rgb * coverage[..., None]
                 return jnp.concatenate([rgb, coverage[..., None]], axis=-1)
 
-            return jax.checkpoint(shade)(verts_cam, vert_colors, light)
+            # base-res activations are 9x smaller than SSAA's: storing them
+            # for backward is cheaper than rematerialising
+            return shade(verts_cam, vert_colors, light)
 
         big = s.image_size * s.aa_factor
         K_big = _scale_intrinsics(K, float(s.aa_factor))

@@ -48,6 +48,17 @@ class Trainer:
         self.ckpt = CheckpointManager(os.path.join(self.out_dir, "model"),
                                       config.save_mode)
         self.log_path = os.path.join(self.out_dir, "train_log.jsonl")
+        self._tb = None
+        self._tb_step = 0
+        if config.is_write_tb:  # reference write_to_tb (traineval_util:488-502)
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(self.out_dir, "tb")
+                )
+            except ImportError:
+                pass
 
         sample = next(iter(train_loader))
         batch = {k: jnp.asarray(v) for k, v in sample.items() if not isinstance(v, str)}
@@ -79,6 +90,15 @@ class Trainer:
     def _log(self, record: dict):
         with open(self.log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            flat = record.get("eval", record)
+            with self._tb.as_default():
+                for k, v in flat.items():
+                    if isinstance(v, (int, float)) and np.isfinite(v):
+                        tf.summary.scalar(k, v, step=self._tb_step)
+            self._tb_step += 1
 
     def train_epoch(self, epoch: int) -> dict:
         sched = make_sched(self.config, epoch)
@@ -86,12 +106,19 @@ class Trainer:
         loss_meter = AverageMeter()
         end = time.time()
         n_img = 0
-        for i, batch in enumerate(self.train_loader):
-            dat_name = batch.get("dataset", "FreiHand")
-            dev_batch = _to_device_batch(batch, self.mesh)
+        from hifihr_tpu.data.pipeline import prefetch_to_device
+
+        for i, dev_batch in enumerate(prefetch_to_device(self.train_loader, self.mesh)):
+            dat_name = dev_batch.pop("dataset", "FreiHand")
             step = self._step_for(dat_name, train=True)
-            self.state, loss_dic = step(self.state, dev_batch, sched)
+            new_state, loss_dic = step(self.state, dev_batch, sched)
             total = float(loss_dic["total"])
+            # NaN/degenerate-batch guard (reference train_hrnet.py:106-108
+            # skips batches with loss < 1e-10; we also skip non-finite)
+            if not np.isfinite(total):
+                self._log({"epoch": epoch, "step": i, "skipped_nan_loss": True})
+                continue
+            self.state = new_state
             loss_meter.update(total)
             n_img += dev_batch["imgs"].shape[0]
             meter.update(time.time() - end)

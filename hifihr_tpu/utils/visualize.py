@@ -121,3 +121,26 @@ def multiview_render(verts: np.ndarray, faces, vert_colors, image_size: int = 22
         )
         frames.append(np.asarray(rgba[0]))
     return np.stack(frames)
+
+
+def save_2d_errors(path_prefix: str, j2d_pred: np.ndarray, j2d_gt: np.ndarray):
+    """Per-sample mean 2D keypoint error dump + sorted error curve
+    (reference utils/traineval_util.py:371-442 save_2d/save_2d_result)."""
+    errs = np.linalg.norm(np.asarray(j2d_pred) - np.asarray(j2d_gt), axis=-1).mean(-1)
+    os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+    np.savetxt(path_prefix + "_2d_errors.txt", errs, fmt="%.4f")
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.plot(np.sort(errs))
+    ax.set_xlabel("sample (sorted)")
+    ax.set_ylabel("mean 2D error (px)")
+    ax.set_title(f"mean={errs.mean():.2f}px  median={np.median(errs):.2f}px")
+    fig.tight_layout()
+    fig.savefig(path_prefix + "_2d_errors.png", dpi=110)
+    plt.close(fig)
+    return errs

@@ -80,3 +80,21 @@ def test_train_mode_updates_batch_stats(model_and_vars):
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_mano_new_path():
+    """YTBHand baseline (hand_model='mano_new') output contract."""
+    from hifihr_tpu.config import Config
+    from hifihr_tpu.models.hifihr import HiFiHR
+
+    cfg = Config(pretrain="res50", hand_model="mano_new", render=False,
+                 light_estimation=False, image_size=S, aa_factor=2)
+    model = HiFiHR(config=cfg)
+    imgs = jnp.zeros((1, S, S, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    out = model.apply(variables, imgs, train=False)
+    assert out["pose_params"].shape == (1, 48)
+    assert out["shape_params"].shape == (1, 10)
+    assert out["verts"].shape == (1, 778, 3)
+    assert out["joints"].shape == (1, 21, 3)
+    np.testing.assert_allclose(np.asarray(out["joints"][:, 9]), 0.0, atol=1e-6)

@@ -21,7 +21,8 @@ def build_loaders(config):
             if config.freihand_base_path and os.path.exists(config.freihand_base_path):
                 from hifihr_tpu.data.freihand import FreiHand
 
-                return FreiHand(config.freihand_base_path, split=split, queries=queries)
+                return FreiHand(config.freihand_base_path, split=split,
+                                queries=queries, semi_ratio=config.semi_ratio)
             logging.warning("FreiHAND data not found; using the synthetic stand-in")
             return SyntheticHandDataset(size=256, image_size=config.image_size)
         if name == "RHD":
