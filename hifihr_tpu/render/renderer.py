@@ -92,11 +92,14 @@ class PhongRenderer:
             face_id, coverage = self._select_faces_msaa(verts_cam, K_base)
 
             def shade(verts_cam, vert_colors, light):
+                from hifihr_tpu.render.interpolate import fragment_interpolate
+
                 verts_screen = raster_jax.project_to_screen(verts_cam, K_base)
-                frag = barycentric_coords(face_id, verts_screen, self.faces)
                 normals = vertex_normals(verts_cam, self.faces)
                 attrs = jnp.concatenate([vert_colors, normals, verts_cam], axis=-1)
-                pix = interpolate_attribute(frag, attrs)
+                pix, _, _ = fragment_interpolate(
+                    face_id, verts_screen, self.faces, attrs
+                )
                 texels, pix_n, pix_p = pix[..., 0:3], pix[..., 3:6], pix[..., 6:9]
                 rgb = phong_shade(texels, pix_n, pix_p, light, materials)
                 # coverage-weighted color: matches SSAA at silhouettes

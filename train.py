@@ -24,7 +24,8 @@ def build_loaders(config):
                 return FreiHand(config.freihand_base_path, split=split,
                                 queries=queries, semi_ratio=config.semi_ratio)
             logging.warning("FreiHAND data not found; using the synthetic stand-in")
-            return SyntheticHandDataset(size=256, image_size=config.image_size)
+            size = config.controlled_size if config.controlled_exp else 256
+            return SyntheticHandDataset(size=size, image_size=config.image_size)
         if name == "RHD":
             from hifihr_tpu.data.rhd import RHD
 
