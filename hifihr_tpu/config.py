@@ -36,6 +36,8 @@ class Config:
     # 'msaa' = in-kernel subsample coverage (fast; identical silhouette alpha);
     # 'ssaa' = reference-exact supersampled shading + average pool
     aa_mode: str = "msaa"
+    # encoder compute dtype; params stay float32. bfloat16 doubles MXU rate.
+    compute_dtype: str = "bfloat16"
 
     # data
     train_datasets: tuple = ("FreiHand",)

@@ -63,6 +63,7 @@ class FreiHand:
         max_rot: float = np.pi,
         train: bool | None = None,
         semi_ratio: float | None = None,
+        four_channel: bool = False,
     ):
         self.base_path = base_path
         self.split = split
@@ -70,6 +71,7 @@ class FreiHand:
         self.max_rot = max_rot
         self.train = train if train is not None else split in ("training", "trainval")
         self.semi_ratio = semi_ratio
+        self.four_channel = four_channel
         self._rng = np.random.RandomState(0)
 
         prefix = "evaluation" if split == "evaluation" else "training"
@@ -221,4 +223,26 @@ class FreiHand:
 
         if "joints" in sample:
             sample["root_xyz"] = sample["joints"][9:10].copy()
+
+        # 4-channel input: append a gaussian keypoint-heatmap channel built
+        # from the openpose detections.  (The reference's four_channel path
+        # concatenates raw coordinates onto the image tensor, which cannot
+        # work — data/dataset.py:282-289; this is the working equivalent.)
+        if self.four_channel and "imgs" in sample and "open_2dj" in sample:
+            sample["imgs"] = np.concatenate(
+                [sample["imgs"], keypoint_heatmap_channel(
+                    sample["open_2dj"], sample["imgs"].shape[0])[..., None]],
+                axis=-1,
+            )
         return sample
+
+
+def keypoint_heatmap_channel(j2d: np.ndarray, size: int, sigma: float = 4.0) -> np.ndarray:
+    """(21, 2) keypoints -> (size, size) float32 max-of-gaussians heatmap."""
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    hm = np.zeros((size, size), np.float32)
+    for u, v in j2d:
+        hm = np.maximum(
+            hm, np.exp(-((xs - u) ** 2 + (ys - v) ** 2) / (2 * sigma**2))
+        )
+    return hm

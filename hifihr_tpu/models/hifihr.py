@@ -53,8 +53,9 @@ class HiFiHR(nn.Module):
             self.theta_head = [nn.Dense(512, name="theta_fc0"), nn.Dense(48, name="theta_fc1")]
             self.mano = ManoLayer(ncomps=45)
             return
+        enc_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.pretrain in ("res18", "res50", "res101"):
-            self.encoder = ResNetEncoder(variant=cfg.pretrain)
+            self.encoder = ResNetEncoder(variant=cfg.pretrain, dtype=enc_dtype)
             feat_dim = 512 if cfg.pretrain == "res18" else 2048
         elif cfg.pretrain == "effb3":
             from hifihr_tpu.networks.efficientnet import EffNetEncoder

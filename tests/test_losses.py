@@ -128,3 +128,17 @@ def test_config_validation():
         Config(pretrain="efficientnet")  # the reference's stale enum
     with pytest.raises(ValueError):
         Config(hand_model="smpl")
+
+
+def test_per_dataset_loss_override():
+    cfg = Config(losses=("mscale",), losses_frei=("joint_3d",),
+                 losses_rhd=("joint_2d",), render=False)
+    lc = LossComputer(cfg)
+    outputs = {"joints": jnp.zeros((1, 21, 3)), "j2d": jnp.zeros((1, 21, 2))}
+    examples = {"joints": jnp.ones((1, 21, 3)), "j2d_gt": jnp.ones((1, 21, 2))}
+    d_frei = lc(examples, outputs, "FreiHand")
+    d_rhd = lc(examples, outputs, "RHD")
+    d_ho3d = lc(examples, outputs, "HO3D")
+    assert "joint_3d" in d_frei and "joint_2d" not in d_frei
+    assert "joint_2d" in d_rhd and "joint_3d" not in d_rhd
+    assert "mscale" in d_ho3d  # falls back to the global loss set

@@ -158,3 +158,13 @@ def test_fit_ortho_param_exact():
     j2d = np.stack([f * j3d[:, 0] + tx, f * j3d[:, 1] + ty], axis=1)
     got = fit_ortho_param(j3d, j2d)
     np.testing.assert_allclose(got, [f, tx, ty], rtol=1e-4)
+
+
+def test_four_channel_heatmap(freihand_root, monkeypatch):
+    import hifihr_tpu.data.freihand as fh
+
+    monkeypatch.setattr(fh, "DB_SIZE_TRAIN", 3)
+    # heatmap helper peaks at the keypoints
+    hm = fh.keypoint_heatmap_channel(np.asarray([[10.0, 20.0]]), 64)
+    assert abs(hm[20, 10] - 1.0) < 1e-5
+    assert hm[60, 60] < 1e-3
