@@ -162,6 +162,17 @@ class Trainer:
             gt_verts = jnp.asarray(self.eval_gt["verts"][:n])
             result["pa_mpjpe_cm"] = float(M.pa_mpjpe(jnp.asarray(xyz_pred[:n]), gt_xyz)) * 100
             result["pa_mpvpe_cm"] = float(M.pa_mpjpe(jnp.asarray(verts_pred[:n]), gt_verts)) * 100
+            # PCK curve / AUC / EPE over Procrustes-aligned joints
+            # (utils/fh_utils.py EvalUtil :719-815, unwired in the reference)
+            aligned = np.asarray(
+                jax.vmap(M.align_w_scale)(gt_xyz, jnp.asarray(xyz_pred[:n]))
+            )
+            ev = M.EvalUtil()
+            ev.feed(np.asarray(gt_xyz), aligned)
+            epe_mean, epe_med, auc, _, _ = ev.get_measures()
+            result["pa_epe_mean_cm"] = epe_mean * 100
+            result["pa_epe_median_cm"] = epe_med * 100
+            result["pck_auc"] = auc
         if tex_metrics:
             for k in tex_metrics[0]:
                 result[f"tex_{k}"] = float(np.mean([m[k] for m in tex_metrics]))
