@@ -52,12 +52,13 @@ class NimbleModel(NamedTuple):
     tex_basis: np.ndarray
     mano_vertex_map: np.ndarray
     parents: np.ndarray
+    posedirs: np.ndarray | None = None  # (V, 3, 135) pose correctives
 
 
 @lru_cache(maxsize=2)
 def load_nimble_model(path: str | None = None) -> NimbleModel:
     with np.load(path or _ASSET) as z:
-        return NimbleModel(**{k: z[k] for k in NimbleModel._fields})
+        return NimbleModel(**{k: z[k] for k in NimbleModel._fields if k in z.files})
 
 
 class NimbleLayer:
@@ -80,6 +81,11 @@ class NimbleLayer:
         self.mano_vertex_map = jnp.asarray(m.mano_vertex_map, jnp.int32)
         self.parents = np.asarray(m.parents)
         self.n_verts = m.v_template.shape[0]
+        self.posedirs = (
+            f32(m.posedirs.reshape(self.n_verts * 3, 135))
+            if m.posedirs is not None
+            else None
+        )
 
     def __call__(self, hand_params: dict, handle_collision: bool = False) -> dict:
         with jax.default_matmul_precision("highest"):
@@ -125,7 +131,12 @@ class NimbleLayer:
         A = A.at[:, :, :3, 3].add(-inv_bind)
 
         T = jnp.einsum("vj,bjxy->bvxy", self.lbs_weights[:, :16], A)
-        v_posed = v_shaped  # placeholder assets carry no pose correctives
+        v_posed = v_shaped
+        if self.posedirs is not None:  # interpolated MANO pose correctives
+            pose_map = (rots[:, 1:] - jnp.eye(3, dtype=rots.dtype)).reshape(b, 135)
+            v_posed = v_posed + (pose_map @ self.posedirs.T).reshape(
+                b, self.n_verts, 3
+            )
         skin_verts = (
             jnp.einsum("bvxy,bvy->bvx", T[:, :, :3, :3], v_posed) + T[:, :, :3, 3]
         )

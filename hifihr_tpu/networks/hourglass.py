@@ -10,6 +10,7 @@ compute_uv_from_integral).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -45,8 +46,6 @@ class Hourglass(nn.Module):
             else:
                 low = HGResidual(self.features, name=f"low2_{level}")(low, train)
             low = HGResidual(self.features, name=f"low3_{level}")(low, train)
-            import jax
-
             up2 = jax.image.resize(low, up1.shape, "nearest")
             return up1 + up2
 
@@ -103,6 +102,3 @@ def heatmaps_to_uv(hm: jnp.ndarray) -> jnp.ndarray:
     u = jnp.einsum("bhwj,w->bj", prob, xs)
     v = jnp.einsum("bhwj,h->bj", prob, ys)
     return jnp.stack([u, v], axis=-1)
-
-
-import jax  # noqa: E402  (used inside heatmaps_to_uv)

@@ -127,6 +127,7 @@ def main(out_path: str = "hifihr_tpu/assets/nimble_placeholder.npz"):
     attrs = {
         "weights": m.lbs_weights,  # (778, 16)
         "shapedirs": m.shapedirs.reshape(778, 30),  # (778, 3*10)
+        "posedirs": m.posedirs.reshape(778, 3 * 135),  # pose correctives
     }
     verts, faces, interp = edge_split_refine(
         m.v_template, m.faces, attrs, TARGET_VERTS
@@ -137,6 +138,7 @@ def main(out_path: str = "hifihr_tpu/assets/nimble_placeholder.npz"):
     shapedirs10 = interp["shapedirs"].reshape(TARGET_VERTS, 3, 10)
     extra = smooth_modes(verts, N_SHAPE - 10)
     shapedirs = np.concatenate([shapedirs10, extra], axis=-1).astype(np.float32)
+    posedirs = interp["posedirs"].reshape(TARGET_VERTS, 3, 135).astype(np.float32)
 
     # 25 joints: 16 mano chain + 5 tips (mano tip verts, prefix indices) +
     # 4 palm points (midpoints between wrist and MCPs)
@@ -167,6 +169,7 @@ def main(out_path: str = "hifihr_tpu/assets/nimble_placeholder.npz"):
         v_template=verts,
         faces=faces,
         shapedirs=shapedirs,  # (5990, 3, 20)
+        posedirs=posedirs,  # (5990, 3, 135) interpolated MANO correctives
         J_regressor=Jreg,  # (25, 5990)
         lbs_weights=weights25,  # (5990, 25)
         pose_basis=m.hands_components[:30].astype(np.float32),  # (30, 45)
