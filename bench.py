@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 REF_GPU_IMAGES_PER_SEC = 30.0  # estimated PyTorch+V100 reference throughput (batch 8-48, PyTorch3D 672^2)
 
-BATCH = 32
+BATCH = 64
 IMAGE_SIZE = 224
 STEPS = 20
 

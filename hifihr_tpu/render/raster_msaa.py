@@ -61,23 +61,43 @@ def _kernel(tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int, tile_w: int,
         cx, cy, cz = tab_ref[0, 0, k, 6], tab_ref[0, 0, k, 7], tab_ref[0, 0, k, 8]
         f = tab_ref[0, 0, k, 9].astype(jnp.int32)
 
+        # the barycentric denominator e0+e1+e2 is the (constant) signed face
+        # area: hoist it to SCALARS — no per-pixel divisions, inside-test via
+        # sign(area)-premultiplied edge functions (exactly equivalent)
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        area_ok = jnp.abs(area) > 1e-12
+        inv_area = jnp.where(area_ok, 1.0 / jnp.where(area_ok, area, 1.0), 0.0)
+        sgn = jnp.where(area < 0, -1.0, 1.0)
+
+        # edge coefficients: e(u, v) = eu*u + ev*v + ec, e.g.
+        # e0 = (cx-bx)(v-by) - (cy-by)(u-bx)
+        e0u, e0v = -(cy - by), (cx - bx)
+        e0c = -(cx - bx) * by + (cy - by) * bx
+        e1u, e1v = -(ay - cy), (ax - cx)
+        e1c = -(ax - cx) * cy + (ay - cy) * cx
+        e2u, e2v = -(by - ay), (bx - ax)
+        e2c = -(bx - ax) * ay + (by - ay) * ax
+
         cov_bits = cov_ref[0]
         zb = zbuf_ref[0]
         fid = fid_ref[0]
         best_z = jnp.full(shape, jnp.inf, jnp.float32)
+        # base-subsample edge values; per-subsample updates are 2 madds each
+        e0_00 = e0u * (base_u + 0.5 / samples) + e0v * (base_v + 0.5 / samples) + e0c
+        e1_00 = e1u * (base_u + 0.5 / samples) + e1v * (base_v + 0.5 / samples) + e1c
+        e2_00 = e2u * (base_u + 0.5 / samples) + e2v * (base_v + 0.5 / samples) + e2c
+        step = 1.0 / samples
         for sy in range(samples):
             for sx in range(samples):
-                u = base_u + (sx + 0.5) / samples
-                v = base_v + (sy + 0.5) / samples
-                e0 = (cx - bx) * (v - by) - (cy - by) * (u - bx)
-                e1 = (ax - cx) * (v - cy) - (ay - cy) * (u - cx)
-                e2 = (bx - ax) * (v - ay) - (by - ay) * (u - ax)
-                area = e0 + e1 + e2
-                area_ok = jnp.abs(area) > 1e-12
-                area_safe = jnp.where(area_ok, area, 1e-12)
-                w0, w1, w2 = e0 / area_safe, e1 / area_safe, e2 / area_safe
-                inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & area_ok
-                z = w0 * az + w1 * bz + w2 * cz
+                d = sx * step
+                dv = sy * step
+                e0 = e0_00 + e0u * d + e0v * dv
+                e1 = e1_00 + e1u * d + e1v * dv
+                e2 = e2_00 + e2u * d + e2v * dv
+                inside = (
+                    (sgn * e0 >= 0) & (sgn * e1 >= 0) & (sgn * e2 >= 0) & area_ok
+                )
+                z = (e0 * az + e1 * bz + e2 * cz) * inv_area
                 s_idx = sy * samples + sx
                 cov_bits = jnp.where(inside, cov_bits | (1 << s_idx), cov_bits)
                 best_z = jnp.where(inside & (z < best_z), z, best_z)
