@@ -246,3 +246,10 @@ def keypoint_heatmap_channel(j2d: np.ndarray, size: int, sigma: float = 4.0) -> 
             hm, np.exp(-((xs - u) ** 2 + (ys - v) ** 2) / (2 * sigma**2))
         )
     return hm
+
+
+def sample_version_offset(version: str) -> int:
+    """FreiHAND color-version name -> index offset
+    (reference utils/fh_utils.py:478-499: gs/hom/sample/auto)."""
+    versions = {"gs": 0, "hom": 1, "sample": 2, "auto": 3}
+    return versions[version] * DB_SIZE_TRAIN

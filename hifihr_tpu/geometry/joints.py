@@ -73,6 +73,9 @@ _FREI_FROM_HO3D = {0: 0,
 
 # Gather-index arrays: OUT = IN[..., PERM, :]
 MANO_TO_FREI = _perm_from_mapping(_MANO2FREI)
+# Obman uses the FreiHAND ordering: Mano2Obman == Mano2Frei in the reference
+# (utils/fh_utils.py:645-661)
+MANO_TO_OBMAN = MANO_TO_FREI
 MANO_TO_RHD = _perm_from_mapping(_MANO2RHD)
 RHD_TO_MANO = np.argsort(MANO_TO_RHD).astype(np.int32)
 RHD_TO_FREI = np.array([_FREI_FROM_RHD[i] for i in range(NUM_JOINTS)], dtype=np.int32)

@@ -63,3 +63,25 @@ def intrinsics_to_ndc(K: jnp.ndarray, image_size: float = 224.0):
     px = -(K[:, 0, 2] - half) * 2.0 / image_size
     py = -(K[:, 1, 2] - half) * 2.0 / image_size
     return jnp.stack([fx, fy], axis=-1), jnp.stack([px, py], axis=-1)
+
+
+def depth_to_pointcloud(depth: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Back-project a depth map to camera-space points.
+
+    depth (B, H, W) with 0 = background; K (B, 3, 3).
+    Returns (B, H*W, 4): xyz + validity flag (batched, static-shaped —
+    replaces the reference's nonzero-indexing batch_depth2pc,
+    utils/fh_utils.py:685-717, which cannot run under jit).
+    """
+    b, h, w = depth.shape
+    us = jnp.arange(w, dtype=depth.dtype)[None, None, :]
+    vs = jnp.arange(h, dtype=depth.dtype)[None, :, None]
+    fx = K[:, 0, 0][:, None, None]
+    fy = K[:, 1, 1][:, None, None]
+    cx = K[:, 0, 2][:, None, None]
+    cy = K[:, 1, 2][:, None, None]
+    x = (us - cx) * depth / (fx + 1e-5)
+    y = (vs - cy) * depth / (fy + 1e-5)
+    valid = (depth > 0).astype(depth.dtype)
+    pc = jnp.stack([x, y, depth, valid], axis=-1)
+    return pc.reshape(b, h * w, 4)

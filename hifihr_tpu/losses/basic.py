@@ -102,3 +102,14 @@ def huber_2d_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d < 5 px -> d^2/10 else d - 2.5.  Returns (B, 21)."""
     d = jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1) + 1e-12)
     return jnp.where(d < 5.0, d * d / 10.0, d - 2.5)
+
+
+def chamfer_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> tuple:
+    """Symmetric Chamfer distances ((B,), (B,)) between point sets
+    (reference utils/losses_util.py:304-337 ChamferLoss)."""
+    d2 = (
+        jnp.sum(pred**2, -1)[:, :, None]
+        + jnp.sum(gt**2, -1)[:, None, :]
+        - 2.0 * jnp.einsum("bnd,bmd->bnm", pred, gt)
+    )
+    return jnp.mean(jnp.min(d2, axis=2), axis=1), jnp.mean(jnp.min(d2, axis=1), axis=1)

@@ -141,10 +141,22 @@ class Trainer:
         xyz_pred, verts_pred = [], []
         tex_metrics: list[dict] = []
         dat_name = "FreiHand"
-        for batch in self.val_loader:
+        for i, batch in enumerate(self.val_loader):
             dat_name = batch.get("dataset", "FreiHand")
             dev_batch = _to_device_batch(batch, self.mesh)
             out = self._step_for(dat_name, train=False)(self.state, dev_batch)
+            if i == 0:  # demo dump (reference displadic every demo_freq)
+                try:
+                    from hifihr_tpu.utils.visualize import save_prediction_grid
+
+                    save_prediction_grid(
+                        os.path.join(self.out_dir, "pic", f"eval_{epoch}.png"),
+                        {k: np.asarray(v) for k, v in dev_batch.items()
+                         if hasattr(v, "shape")},
+                        {k: np.asarray(v) for k, v in out.items()},
+                    )
+                except Exception as exc:  # noqa: BLE001 - viz must never kill eval
+                    self._log({"viz_error": str(exc)})
             xyz_pred.append(np.asarray(out["joints"]))
             verts_pred.append(np.asarray(out["mano_verts"]))
             if "re_img" in out and "segms_gt" in dev_batch:

@@ -142,3 +142,23 @@ def test_per_dataset_loss_override():
     assert "joint_3d" in d_frei and "joint_2d" not in d_frei
     assert "joint_2d" in d_rhd and "joint_3d" not in d_rhd
     assert "mscale" in d_ho3d  # falls back to the global loss set
+
+
+def test_chamfer_loss_zero_identical(rng):
+    pts = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32))
+    a, b = basic.chamfer_loss(pts, pts)
+    np.testing.assert_allclose(np.asarray(a), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), 0.0, atol=1e-5)
+
+
+def test_depth_to_pointcloud_roundtrip(rng):
+    from hifihr_tpu.geometry.projection import depth_to_pointcloud, perspective_project
+
+    K = jnp.asarray([[[50.0, 0, 8], [0, 50.0, 8], [0, 0, 1]]])
+    depth = jnp.zeros((1, 16, 16)).at[0, 4, 6].set(0.7)
+    pc = depth_to_pointcloud(depth, K)
+    valid = np.asarray(pc[0, :, 3]) > 0
+    assert valid.sum() == 1
+    pt = np.asarray(pc[0][valid][0, :3])
+    uv = np.asarray(perspective_project(jnp.asarray(pt[None, None]), K))[0, 0]
+    np.testing.assert_allclose(uv, [6.0, 4.0], atol=1e-4)
