@@ -38,6 +38,27 @@ def collate(samples: Sequence[dict]) -> dict:
     return out
 
 
+class Subset:
+    """First-k view of any HandDataset — the reference's controlled-size
+    experiments wrap every pose dataset this way (data/dataset.py:97-106)."""
+
+    def __init__(self, dataset, size: int):
+        n = len(dataset)
+        if n < size:
+            import warnings
+
+            warnings.warn(f"limit size {size} > dataset size {n}; using full dataset")
+        self.dataset = dataset
+        self.size = min(int(size), n)
+        self.name = getattr(dataset, "name", "unknown")
+
+    def __len__(self) -> int:
+        return self.size
+
+    def get_sample(self, idx: int) -> dict:
+        return self.dataset.get_sample(idx)
+
+
 class BatchLoader:
     """Shuffling, drop-last batch iterator with a deterministic seed."""
 

@@ -53,6 +53,11 @@ class NimbleModel(NamedTuple):
     mano_vertex_map: np.ndarray
     parents: np.ndarray
     posedirs: np.ndarray | None = None  # (V, 3, 135) pose correctives
+    # UV appearance model (reference NIMBLE PCA diffuse maps,
+    # models_res_nimble.py:132-142); derived by tools/make_nimble_uv.py
+    vert_uv: np.ndarray | None = None  # (V, 2) in [0,1]
+    tex_mean_uv: np.ndarray | None = None  # (h, w, 3) low-res mean map
+    tex_basis_uv: np.ndarray | None = None  # (h, w, 3, T) low-res PCA maps
 
 
 @lru_cache(maxsize=2)
@@ -63,7 +68,7 @@ def load_nimble_model(path: str | None = None) -> NimbleModel:
 
 class NimbleLayer:
     def __init__(self, model: NimbleModel | None = None, shape_ncomp: int = 20,
-                 pose_ncomp: int = 30, tex_ncomp: int = 10):
+                 pose_ncomp: int = 30, tex_ncomp: int = 10, tex_size: int = 256):
         m = model or load_nimble_model()
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         self.shape_ncomp = shape_ncomp
@@ -86,6 +91,18 @@ class NimbleLayer:
             if m.posedirs is not None
             else None
         )
+        # UV appearance model: low-res stored maps -> render-res once at init
+        self.vert_uv = f32(m.vert_uv) if m.vert_uv is not None else None
+        self.tex_mean_uv = None
+        self.tex_basis_uv = None
+        if m.tex_mean_uv is not None and m.tex_basis_uv is not None:
+            self.tex_mean_uv = jax.image.resize(
+                f32(m.tex_mean_uv), (tex_size, tex_size, 3), "bilinear"
+            )
+            basis = f32(m.tex_basis_uv[..., :tex_ncomp])
+            self.tex_basis_uv = jax.image.resize(
+                basis, (tex_size, tex_size, 3, basis.shape[-1]), "bilinear"
+            )
 
     def __call__(self, hand_params: dict, handle_collision: bool = False) -> dict:
         with jax.default_matmul_precision("highest"):
@@ -172,13 +189,26 @@ class NimbleLayer:
         albedo = jnp.clip(albedo, 0.0, 1.0)
         albedo = jnp.broadcast_to(albedo, (b,) + albedo.shape[1:]) if albedo.shape[0] == 1 else albedo
 
+        # UV texture image from the PCA appearance model (the reference's
+        # textures output is the per-face UV texture, models_res_nimble.py:140)
+        texture_image = None
+        if self.tex_mean_uv is not None:
+            texture_image = jnp.broadcast_to(
+                self.tex_mean_uv[None], (b,) + self.tex_mean_uv.shape
+            )
+            if tex is not None:
+                texture_image = texture_image + jnp.einsum(
+                    "hwct,bt->bhwc", self.tex_basis_uv, tex[:, : self.tex_ncomp]
+                )
+            texture_image = jnp.clip(texture_image, 0.0, 1.0)
+
         return {
             "nimble_joints": nimble_joints,
             "verts": skin_verts,
             "skin_verts": skin_verts,
             "skin_albedo": albedo,
             "mano_verts": skin_verts[:, self.mano_vertex_map],
-            "textures": albedo,
+            "textures": texture_image if texture_image is not None else albedo,
             "joints": joints21,
             "rot": root_aa,
         }

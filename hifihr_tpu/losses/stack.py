@@ -43,7 +43,14 @@ class LossComputer:
         self.config = config
         self.base_loss = _mean_loss(config.base_loss_fn)
         self.laplacian = None
-        if mano_faces is not None and "triangle" in config.losses:
+        all_used = set(config.losses) | set(config.losses_frei or ()) | set(config.losses_rhd or ())
+        if "triangle" in all_used:
+            if mano_faces is None:
+                # the reference asserts faces are present (losses.py:423);
+                # here the MANO topology is a fixed asset, so self-supply it
+                from hifihr_tpu.assets import load_mano_model
+
+                mano_faces = load_mano_model().faces
             n_verts = int(jnp.max(jnp.asarray(mano_faces))) + 1
             self.laplacian = uniform_laplacian(n_verts, mano_faces)
         use_percep = (
@@ -135,8 +142,31 @@ class LossComputer:
             dist = basic.huber_2d_distance(outputs["hm_j2d"], outputs["j2d"])
             d["kp_cons"] = cfg.lambda_kp_cons * jnp.mean(dist)
 
-        if "tsa_pose" in loss_used and "tsa_poses" in outputs:
-            d["tsa_pose"] = lam_pose * basic.tsa_pose_loss(outputs["tsa_poses"])
+        # heatmap-integral supervision: per-stack soft-argmax uv vs pseudo/GT
+        # labels (reference losses.py:14-44, summed over hm_j2d_list)
+        if "hm_integral" in loss_used and "open_2dj" in examples and "hm_j2d_list" in outputs:
+            con = examples["open_2dj_con"][..., 0]
+            acc = 0.0
+            for hm_j2d in outputs["hm_j2d_list"]:
+                dist = jnp.sqrt(
+                    jnp.sum((examples["open_2dj"] - hm_j2d) ** 2, -1) + 1e-12
+                )
+                acc = acc + jnp.sum(dist * con**2) / jnp.maximum(jnp.sum(con**2), 1e-8)
+            d["hm_integral"] = cfg.lambda_hm * acc
+
+        if "hm_integral_gt" in loss_used and "j2d_gt" in examples and "hm_j2d_list" in outputs:
+            acc = 0.0
+            for hm_j2d in outputs["hm_j2d_list"]:
+                dist = jnp.sqrt(
+                    jnp.sum((examples["j2d_gt"] - hm_j2d) ** 2, -1) + 1e-12
+                )
+                acc = acc + jnp.mean(dist)
+            d["hm_integral_gt"] = cfg.lambda_hm * acc
+
+        # configs list this loss as "tsa_poses" (reference losses.py:128-133
+        # fires whenever tsa_poses is in outputs); accept the singular too
+        if ("tsa_poses" in loss_used or "tsa_pose" in loss_used) and "tsa_poses" in outputs:
+            d["tsa_poses"] = lam_pose * basic.tsa_pose_loss(outputs["tsa_poses"])
 
         # ---- photometric: self-supervised (confidence-weighted) ----
         if "re_img" in outputs and "re_sil" in outputs and "texture_con" in examples:
@@ -196,5 +226,29 @@ class LossComputer:
         if "mtex" in loss_used and outputs.get("texture_params") is not None:
             d["mtex"] = lam_tex_reg * jnp.mean(outputs["texture_params"] ** 2)
 
+        # Loud guard: the reference hard-asserts the preconditions of every
+        # listed loss (losses.py:246,423); a silently skipped branch hides a
+        # wiring gap.  Gates are static python, so this fires at trace time.
+        expected_unfired = {"scale"} if dat_name not in ("FreiHand", "RHD") else set()
+        unfired = [
+            n for n in loss_used
+            if n not in d and n != "tsa_pose" and n not in expected_unfired
+        ]
+        if unfired:
+            import warnings
+
+            key = (tuple(unfired), dat_name)
+            if key not in _WARNED_UNFIRED:
+                _WARNED_UNFIRED.add(key)
+                warnings.warn(
+                    f"configured losses {unfired} did not fire for dataset "
+                    f"{dat_name}: missing model outputs or batch keys "
+                    f"(reference asserts these preconditions, losses.py:246)",
+                    stacklevel=2,
+                )
+
         d["total"] = sum(d.values()) if d else jnp.zeros(())
         return d
+
+
+_WARNED_UNFIRED: set = set()

@@ -81,6 +81,12 @@ class HiFiHR(nn.Module):
         )
         if cfg.light_estimation:
             self.light_estimator = LightEstimator()
+        if cfg.rgb2hm:
+            # stacked-hourglass heatmap branch (reference rgb2hm,
+            # utils/train_utils.py:104-111; legacy net_hg.py Net_HM_HG)
+            from hifihr_tpu.networks.hourglass import NetHMHG
+
+            self.rgb2hm = NetHMHG()
 
         if cfg.hand_model == "mano":
             self.mano = ManoLayer(ncomps=pose_nc - 3)
@@ -141,6 +147,18 @@ class HiFiHR(nn.Module):
         hand_params = self.hand_encoder(features, train=train)
         outputs = dict(hand_params)
 
+        if cfg.rgb2hm:
+            # heatmap 2D branch: per-stack soft-argmax uv in image pixels
+            # (compute_uv_from_integral, utils/visualize_util.py:859-880 —
+            # bilinear-upsample + integral ≈ integral at heatmap res × scale)
+            from hifihr_tpu.networks.hourglass import heatmaps_to_uv
+
+            hms = self.rgb2hm(images, train=train)
+            hm_scale = images.shape[1] / hms[-1].shape[1]
+            hm_uv = tuple(heatmaps_to_uv(h) * hm_scale for h in hms)
+            outputs["hm_j2d_list"] = hm_uv
+            outputs["hm_j2d"] = hm_uv[-1]
+
         if cfg.hand_model == "mano":
             mano_out = self.mano(hand_params["pose_params"], hand_params["shape_params"])
             verts = mano_out.verts
@@ -177,6 +195,8 @@ class HiFiHR(nn.Module):
             render_root = nroot  # renderer offsets by the nimble root (:169-205)
 
         if cfg.render and Ks is not None and root_xyz is not None:
+            texture_image = None
+            vert_uv = None
             if cfg.hand_model == "mano":
                 render_verts = outputs["mano_verts"] + root_xyz
                 albedo = self._vertex_albedo(b)
@@ -185,10 +205,16 @@ class HiFiHR(nn.Module):
                 render_verts = outputs["skin_verts"] - render_root + root_xyz
                 albedo = outputs["skin_albedo"]
                 faces = self.nimble.skin_faces
+                # NIMBLE appearance: PCA UV diffuse map sampled per-fragment
+                # (reference models_res_nimble.py:132-142)
+                if self.nimble.vert_uv is not None:
+                    vert_uv = self.nimble.vert_uv
+                    texture_image = outputs["textures"]
             renderer = PhongRenderer(
                 faces,
                 RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor,
-                               aa_mode=cfg.aa_mode),
+                               aa_mode=cfg.aa_mode, with_depth=True),
+                vert_uv=vert_uv,
             )
             if light_params is not None:
                 light = DirectionalLight.from_estimator(
@@ -196,10 +222,13 @@ class HiFiHR(nn.Module):
                 )
             else:
                 light = DirectionalLight.default(b, images.dtype)
-            rgba = renderer(render_verts, albedo, Ks[:, :3, :3], light)
+            rgba = renderer(render_verts, albedo, Ks[:, :3, :3], light,
+                            texture_image=texture_image)
             re_sil = (rgba[..., 3:4] > 0).astype(images.dtype) * 255.0
             outputs["re_img"] = rgba[..., :3]
             outputs["re_sil"] = re_sil
+            # legacy renderer triple's depth map (traineval_util.py:583)
+            outputs["re_depth"] = rgba[..., 4]
             outputs["maskRGBs"] = images * (re_sil > 0).astype(images.dtype)
 
         outputs["mano_faces"] = self.mano.faces

@@ -37,6 +37,12 @@ class Hourglass(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import math
+
+        # clamp recursion so the innermost pool never hits 0 px (shapes are
+        # static, so this resolves at trace time)
+        depth = min(self.depth, max(1, int(math.log2(min(x.shape[1], x.shape[2])))))
+
         def hg(level, x):
             up1 = HGResidual(self.features, name=f"up_{level}")(x, train)
             low = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -49,7 +55,7 @@ class Hourglass(nn.Module):
             up2 = jax.image.resize(low, up1.shape, "nearest")
             return up1 + up2
 
-        return hg(self.depth, x)
+        return hg(depth, x)
 
 
 class NetHMHG(nn.Module):

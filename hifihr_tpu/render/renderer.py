@@ -36,6 +36,11 @@ class RenderSettings(NamedTuple):
     #         alpha identical to the reference's pooled alpha).
     # 'ssaa': reference-exact supersampled shading + average pool.
     aa_mode: str = "msaa"
+    # append an interpolated camera-z channel -> (B,H,W,5); completes the
+    # legacy (rgb, depth, sil) renderer triple (traineval_util.py:583).
+    # Background depth is 0 (the interpolation already computes pix_p, so
+    # this is free).
+    with_depth: bool = False
 
 
 def _scale_intrinsics(K: jnp.ndarray, s: float) -> jnp.ndarray:
@@ -49,11 +54,19 @@ def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 class PhongRenderer:
-    """Stateless; construct with static faces, call with batched geometry."""
+    """Stateless; construct with static faces, call with batched geometry.
 
-    def __init__(self, faces, settings: RenderSettings = RenderSettings()):
+    Optional `vert_uv` (V, 2) enables UV-textured rendering: pass
+    `texture_image` (B, Ht, Wt, 3) to __call__ and albedo is bilinearly
+    sampled from it at interpolated UVs instead of taken from vert_colors —
+    the NIMBLE appearance path (reference models_res_nimble.py:132-142).
+    """
+
+    def __init__(self, faces, settings: RenderSettings = RenderSettings(),
+                 vert_uv=None):
         self.faces = jnp.asarray(faces, jnp.int32)
         self.settings = settings
+        self.vert_uv = None if vert_uv is None else jnp.asarray(vert_uv, jnp.float32)
 
     def rasterize(self, verts_cam: jnp.ndarray, K: jnp.ndarray):
         """Returns (frag dict, verts_screen) at the supersampled resolution."""
@@ -72,6 +85,7 @@ class PhongRenderer:
         K: jnp.ndarray,  # (B, 3, 3) pixel intrinsics at image_size
         light: DirectionalLight | None = None,
         materials: Materials = Materials(),
+        texture_image: jnp.ndarray | None = None,  # (B, Ht, Wt, 3) UV albedo
     ) -> jnp.ndarray:
         """Render -> (B, image_size, image_size, 4) RGBA, antialiased.
 
@@ -86,12 +100,26 @@ class PhongRenderer:
         s = self.settings
         if light is None:
             light = DirectionalLight.default(verts_cam.shape[0], verts_cam.dtype)
+        use_uv = texture_image is not None and self.vert_uv is not None
+        if use_uv:
+            # interpolate UVs like any other attribute, then sample the map
+            b, v = verts_cam.shape[:2]
+            vert_colors = jnp.broadcast_to(self.vert_uv[None], (b, v, 2))
+
+        def _texels(pix_colors, texture_image):
+            if not use_uv:
+                return pix_colors
+            from hifihr_tpu.render.texture import sample_texture
+
+            return sample_texture(texture_image, pix_colors)
+
+        nc = vert_colors.shape[-1]  # 2 (uv) or 3 (albedo)
 
         if s.aa_mode == "msaa":
             K_base = K
             face_id, coverage = self._select_faces_msaa(verts_cam, K_base)
 
-            def shade(verts_cam, vert_colors, light):
+            def shade(verts_cam, vert_colors, light, texture_image):
                 from hifihr_tpu.render.interpolate import fragment_interpolate
 
                 verts_screen = raster_jax.project_to_screen(verts_cam, K_base)
@@ -100,34 +128,43 @@ class PhongRenderer:
                 pix, _, _ = fragment_interpolate(
                     face_id, verts_screen, self.faces, attrs
                 )
-                texels, pix_n, pix_p = pix[..., 0:3], pix[..., 3:6], pix[..., 6:9]
+                texels = _texels(pix[..., 0:nc], texture_image)
+                pix_n, pix_p = pix[..., nc:nc + 3], pix[..., nc + 3:nc + 6]
                 rgb = phong_shade(texels, pix_n, pix_p, light, materials)
                 # coverage-weighted color: matches SSAA at silhouettes
                 rgb = rgb * coverage[..., None]
-                return jnp.concatenate([rgb, coverage[..., None]], axis=-1)
+                chans = [rgb, coverage[..., None]]
+                if s.with_depth:
+                    covered = (coverage > 0).astype(rgb.dtype)[..., None]
+                    chans.append(pix_p[..., 2:3] * covered)
+                return jnp.concatenate(chans, axis=-1)
 
             # base-res activations are 9x smaller than SSAA's: storing them
             # for backward is cheaper than rematerialising
-            return shade(verts_cam, vert_colors, light)
+            return shade(verts_cam, vert_colors, light, texture_image)
 
         big = s.image_size * s.aa_factor
         K_big = _scale_intrinsics(K, float(s.aa_factor))
         face_id, _ = self._select_faces(verts_cam, K_big, big)
 
-        def shade(verts_cam, vert_colors, light):
+        def shade(verts_cam, vert_colors, light, texture_image):
             verts_screen = raster_jax.project_to_screen(verts_cam, K_big)
             frag = barycentric_coords(face_id, verts_screen, self.faces)
             normals = vertex_normals(verts_cam, self.faces)
             # one packed gather for all per-vertex attributes
             attrs = jnp.concatenate([vert_colors, normals, verts_cam], axis=-1)
             pix = interpolate_attribute(frag, attrs)
-            texels, pix_normals, pix_points = pix[..., 0:3], pix[..., 3:6], pix[..., 6:9]
+            texels = _texels(pix[..., 0:nc], texture_image)
+            pix_normals, pix_points = pix[..., nc:nc + 3], pix[..., nc + 3:nc + 6]
             rgb = phong_shade(texels, pix_normals, pix_points, light, materials)
             rgb = rgb * frag["mask"][..., None]
-            rgba = jnp.concatenate([rgb, frag["mask"][..., None]], axis=-1)
+            chans = [rgb, frag["mask"][..., None]]
+            if s.with_depth:
+                chans.append(pix_points[..., 2:3] * frag["mask"][..., None])
+            rgba = jnp.concatenate(chans, axis=-1)
             return _avg_pool(rgba, s.aa_factor)
 
-        return jax.checkpoint(shade)(verts_cam, vert_colors, light)
+        return jax.checkpoint(shade)(verts_cam, vert_colors, light, texture_image)
 
     def _select_faces_msaa(self, verts_cam, K_base):
         """(face_id, coverage) at base resolution via the MSAA kernel, or an

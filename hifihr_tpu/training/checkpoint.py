@@ -79,6 +79,34 @@ class CheckpointManager:
                     shutil.rmtree(os.path.join(self.directory, name), ignore_errors=True)
         return self._path(tags[0])
 
+    def restore_submodules(self, state, prefixes: tuple, tag="latest"):
+        """Load ONLY parameters whose '/'-joined path starts with a prefix
+        (e.g. ('rgb2hm',) or ('hand_encoder/tex',)) — the reference's
+        module-targeted warm starts (utils/train_utils.py:96-111:
+        pretrain_texture_model tex_reg load, pretrain_rgb2hm load)."""
+        from flax import traverse_util
+
+        stored = self._ckpt.restore(self._path(tag))
+
+        def merge(target: dict, source: dict) -> dict:
+            flat_t = traverse_util.flatten_dict(target)
+            flat_s = traverse_util.flatten_dict(source)
+            n = 0
+            for k in flat_t:
+                ks = "/".join(map(str, k))
+                if any(ks.startswith(p) for p in prefixes) and k in flat_s and (
+                    getattr(flat_s[k], "shape", None) == getattr(flat_t[k], "shape", None)
+                ):
+                    flat_t[k] = flat_s[k]
+                    n += 1
+            return traverse_util.unflatten_dict(flat_t) if n else target
+
+        params = merge(dict(state.params), stored.get("params", {}))
+        batch_stats = state.batch_stats or {}
+        if batch_stats:
+            batch_stats = merge(dict(batch_stats), stored.get("batch_stats", {}))
+        return state.replace(params=params, batch_stats=batch_stats)
+
     def restore(self, state, tag="latest"):
         """Returns (state, epoch). Selective per-submodule restore."""
         path = self._path(tag)

@@ -89,20 +89,39 @@ class EvalUtil:
         )
 
 
-def texture_metrics(re_img, re_sil, real_img, gt_mask=None) -> dict:
-    """Masked PSNR / SSIM / L1 / L2 between render and real image.
+_LPIPS = None
+
+
+def _get_lpips():
+    global _LPIPS
+    if _LPIPS is None:
+        from hifihr_tpu.losses.lpips import LPIPS
+
+        _LPIPS = LPIPS()
+    return _LPIPS
+
+
+def texture_metrics(re_img, re_sil, real_img, gt_mask=None, with_lpips=True) -> dict:
+    """Masked PSNR / SSIM / L1 / L2 / LPIPS between render and real image.
 
     re_img, real_img: (B, H, W, 3); re_sil: (B, H, W, 1) in {0, 255} or {0,1}.
-    (reference train_hrnet.py:148-161; LPIPS omitted until the AlexNet port
-    lands — tracked in README roadmap.)
+    (reference train_hrnet.py:148-161 + loss_fn_alex at :563.)  LPIPS is the
+    AlexNet port; without converted weights it runs random-init features and
+    the returned key is suffixed accordingly.
     """
     sil = (re_sil > 0).astype(re_img.dtype)
     pred = re_img * sil
     gt = real_img * (gt_mask[..., None] if gt_mask is not None else sil)
     mse = jnp.mean((pred - gt) ** 2)
-    return {
+    out = {
         "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
         "ssim": ssim_metric(pred, gt),
         "l1": jnp.mean(jnp.abs(pred - gt)),
         "l2": mse,
     }
+    # AlexNet's stride-4 conv1 + pools need >= 64 px inputs
+    if with_lpips and re_img.shape[1] >= 64:
+        lp = _get_lpips()
+        key = "lpips" if lp.pretrained else "lpips_randinit"
+        out[key] = jnp.mean(lp(pred * 2.0 - 1.0, gt * 2.0 - 1.0))
+    return out

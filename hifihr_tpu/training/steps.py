@@ -108,8 +108,13 @@ def make_eval_step(model, dat_name: str, config: Config) -> Callable:
         )
         keep = {
             k: outputs[k]
-            for k in ("joints", "mano_verts", "j2d", "re_img", "re_sil")
-            if k in outputs
+            for k in (
+                "joints", "mano_verts", "j2d", "re_img", "re_sil", "re_depth",
+                # raw MANO params + heatmap uv feed test-time refinement
+                # (reference mano_fitting, traineval_util.py:505-596)
+                "pose_params", "shape_params", "trans", "scale", "hm_j2d",
+            )
+            if k in outputs and outputs[k] is not None
         }
         return keep
 

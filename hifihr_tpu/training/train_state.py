@@ -52,14 +52,23 @@ def create_train_state(
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(config, steps_per_epoch)
     # module freezing (reference utils/train_utils.py:205-240):
-    # only_train_texture freezes the encoder + pose/shape regression so only
-    # texture/light heads train; only_train_regressor freezes the encoder.
+    # only_train_texture freezes the encoder AND the hand_encoder base/pose/
+    # shape heads (train_utils.py:222-240) so only texture/light/albedo train;
+    # only_train_regressor freezes the encoder + light estimator.
     frozen: tuple[str, ...] = ()
     if config.only_train_regressor:
-        frozen = ("encoder", "light_estimator")
+        # reference also freezes texture + light estimators (:209-221)
+        frozen = ("encoder", "light_estimator", "hand_encoder/tex", "vert_tex")
     elif config.only_train_texture:
-        frozen = ("encoder",)
-    frozen = tuple(k for k in frozen if k in params)
+        frozen = (
+            "encoder",
+            "rgb2hm",
+            "hand_encoder/base",
+            "hand_encoder/pose",
+            "hand_encoder/shape",
+        )
+    if config.freeze_hm_estimator:  # reference train_utils.py:206-208
+        frozen = frozen + ("rgb2hm",)
     tx = freeze_submodules(tx, params, frozen)
     return TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
@@ -67,19 +76,27 @@ def create_train_state(
 
 
 def freeze_submodules(tx, params, frozen_prefixes: tuple[str, ...]):
-    """Zero updates for selected top-level submodules.
+    """Zero updates for any parameter whose '/'-joined path starts with one of
+    `frozen_prefixes` (e.g. 'encoder' or 'hand_encoder/pose').
 
     TPU-native counterpart of the reference's requires_grad freezing
     (utils/train_utils.py:205-240: freeze encoder / train-texture-only modes).
     """
     if not frozen_prefixes:
         return tx
+    from flax import traverse_util
 
     def label(params_tree):
-        return {
-            k: ("frozen" if k in frozen_prefixes else "trained")
-            for k in params_tree.keys()
+        flat = traverse_util.flatten_dict(params_tree)
+        labels = {
+            k: (
+                "frozen"
+                if any("/".join(map(str, k)).startswith(p) for p in frozen_prefixes)
+                else "trained"
+            )
+            for k in flat
         }
+        return traverse_util.unflatten_dict(labels)
 
     return optax.multi_transform(
         {"trained": tx, "frozen": optax.set_to_zero()}, label

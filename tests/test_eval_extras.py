@@ -1,0 +1,87 @@
+"""Eval-path extras: ragged-batch pad guard, Subset controlled experiments,
+re_depth output, LPIPS in texture metrics (VERDICT r1 items 5, 9, 10)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifihr_tpu.config import Config
+from hifihr_tpu.data.base import BatchLoader, Subset
+from hifihr_tpu.data.synthetic import SyntheticHandDataset
+from hifihr_tpu.models.hifihr import HiFiHR
+
+
+def test_subset_limits_any_dataset():
+    ds = SyntheticHandDataset(size=20, image_size=32)
+    sub = Subset(ds, 6)
+    assert len(sub) == 6
+    assert sub.name == ds.name
+    np.testing.assert_array_equal(
+        sub.get_sample(3)["imgs"], ds.get_sample(3)["imgs"]
+    )
+    # oversize request falls back to full dataset with a warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        big = Subset(ds, 100)
+    assert len(big) == 20 and any("limit size" in str(x.message) for x in w)
+
+
+def test_eval_batch_pad_guard():
+    """A final val batch not divisible by the mesh size must neither crash nor
+    drop samples (VERDICT r1 weak #7)."""
+    from hifihr_tpu.parallel.mesh import make_mesh
+    from hifihr_tpu.training.loop import _to_device_batch
+
+    mesh = make_mesh()  # 8 virtual CPU devices under conftest
+    n_dev = mesh.devices.size
+    assert n_dev == 8
+    ragged = {"imgs": np.random.rand(5, 8, 8, 3).astype(np.float32),
+              "scales": np.full((5,), 0.03, np.float32)}
+    dev_batch, n_valid = _to_device_batch(ragged, mesh)
+    assert n_valid == 5
+    assert dev_batch["imgs"].shape[0] == 8  # padded to a device multiple
+    # pad rows replicate the last sample
+    np.testing.assert_array_equal(
+        np.asarray(dev_batch["imgs"][5]), ragged["imgs"][4]
+    )
+    # divisible batches stay untouched
+    even = {"imgs": np.random.rand(8, 8, 8, 3).astype(np.float32)}
+    dev_even, n8 = _to_device_batch(even, mesh)
+    assert n8 == 8 and dev_even["imgs"].shape[0] == 8
+
+
+def test_re_depth_output(rng):
+    cfg = Config(pretrain="res18", hand_model="mano", render=True,
+                 light_estimation=False, image_size=32, aa_factor=2)
+    model = HiFiHR(config=cfg)
+    f = 32 * 1.8
+    K = jnp.asarray(np.tile(
+        np.asarray([[f, 0, 16], [0, f, 16], [0, 0, 1]], np.float32)[None],
+        (2, 1, 1)))
+    imgs = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    root = jnp.tile(jnp.asarray([[[0.0, 0.0, 0.5]]], jnp.float32), (2, 1, 1))
+    variables = model.init(jax.random.PRNGKey(0), imgs, K, root, train=False)
+    out = model.apply(variables, imgs, K, root, train=False)
+    assert out["re_depth"].shape == (2, 32, 32)
+    depth = np.asarray(out["re_depth"])
+    sil = np.asarray(out["re_sil"][..., 0]) > 0
+    assert sil.any(), "hand not in frame"
+    # covered pixels carry camera-space z near the 0.5 m root; background is 0
+    assert 0.2 < np.median(depth[sil]) < 0.9
+    assert (depth[~sil] == 0).all()
+
+
+def test_texture_metrics_include_lpips(rng):
+    from hifihr_tpu.training.metrics import texture_metrics
+
+    img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    sil = jnp.ones((1, 64, 64, 1)) * 255.0
+    m = texture_metrics(img, sil, img)
+    assert any(k.startswith("lpips") for k in m)
+    lp_key = [k for k in m if k.startswith("lpips")][0]
+    assert float(m[lp_key]) < 1e-5  # identical images -> ~0 distance
+    # small images skip the AlexNet branch rather than crash
+    m16 = texture_metrics(img[:, :16, :16], sil[:, :16, :16], img[:, :16, :16])
+    assert not any(k.startswith("lpips") for k in m16)

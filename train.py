@@ -13,7 +13,7 @@ import os
 
 
 def build_loaders(config):
-    from hifihr_tpu.data.base import BatchLoader, ConcatLoader
+    from hifihr_tpu.data.base import BatchLoader, ConcatLoader, Subset
     from hifihr_tpu.data.synthetic import SyntheticHandDataset
 
     def dataset_for(name: str, split: str, queries):
@@ -49,6 +49,10 @@ def build_loaders(config):
             "Dart": config.train_queries_dart,
         }.get(name) or config.train_queries
         ds = dataset_for(name, "training", q)
+        # controlled-size experiments subset ANY training dataset
+        # (reference data/dataset.py:97-106 limit_size)
+        if config.controlled_exp and not isinstance(ds, SyntheticHandDataset):
+            ds = Subset(ds, config.controlled_size)
         train_loaders.append(BatchLoader(ds, config.train_batch))
     train_loader = (
         ConcatLoader(train_loaders) if len(train_loaders) > 1 else train_loaders[0]
