@@ -66,23 +66,30 @@ def main():
     out = attach_j2d(out, Ks=K, root_xyz=root)
 
     os.makedirs(args.out, exist_ok=True)
-    verts = np.asarray(out["mano_verts"][0] + np.asarray(root[0]))
-    faces = np.asarray(out["mano_faces"])
-    visualize.save_obj(os.path.join(args.out, "hand.obj"), verts, faces)
+    if cfg.hand_model == "nimble" and out["textures"].ndim == 4:
+        # UV-textured NIMBLE skin dump (reference save_textured_nimble,
+        # visualize_util.py:16,27)
+        from hifihr_tpu.hand.nimble import NimbleLayer
+
+        nimble = NimbleLayer()
+        verts = np.asarray(out["skin_verts"][0])
+        faces = np.asarray(nimble.skin_faces)
+        visualize.save_obj(
+            os.path.join(args.out, "hand.obj"), verts, faces,
+            vert_uv=np.asarray(nimble.vert_uv),
+            texture_image=np.asarray(out["textures"][0]),
+        )
+    else:
+        verts = np.asarray(out["mano_verts"][0] + np.asarray(root[0]))
+        faces = np.asarray(out["mano_faces"])
+        visualize.save_obj(os.path.join(args.out, "hand.obj"), verts, faces)
     visualize.save_prediction_grid(
         os.path.join(args.out, "panel.png"), {"imgs": imgs}, out, max_rows=1
     )
     colors = np.full((len(verts), 3), 0.7, np.float32)
     frames = visualize.multiview_render(verts, faces, colors, n_views=8)
     strip = np.concatenate(list(frames[..., :3]), axis=1)
-    try:
-        from PIL import Image
-
-        Image.fromarray((np.clip(strip, 0, 1) * 255).astype(np.uint8)).save(
-            os.path.join(args.out, "turntable.png")
-        )
-    except ImportError:
-        pass
+    visualize.write_png(os.path.join(args.out, "turntable.png"), strip)
     print(f"wrote {args.out}/hand.obj, panel.png, turntable.png")
 
 

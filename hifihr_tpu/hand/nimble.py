@@ -6,9 +6,12 @@ Implements the reference call-site contract (models_res_nimble.py:57,
 legacy mano order), rot}`.  The upstream NIMBLE implementation is a MISSING
 git submodule and its licensed assets are not redistributable, so this layer
 runs on the derived asset set from tools/make_nimble_assets.py (MANO-refined
-5990-vert skin mesh, exact 778-vert prefix downsample, 25 joints, smooth
-appearance PCA).  Converting the real NIMBLE release into the same npz schema
-upgrades fidelity with no code change.
+5990-vert skin mesh, exact 778-vert prefix downsample, 25 joints) +
+tools/make_nimble_uv.py (UV atlas + UV-space appearance PCA; `textures` is a
+(B, tex_size, tex_size, 3) diffuse map sampled per-fragment by the renderer,
+like the reference's textured Meshes at models_res_nimble.py:132-142).
+Converting the real NIMBLE release into the same npz schema upgrades fidelity
+with no code change.
 
 Pose space: 30 PCA coefficients over the finger axis-angle space (basis rows
 from the asset), global rotation from hand_params['rot'] when present (the

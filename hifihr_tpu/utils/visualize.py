@@ -69,20 +69,70 @@ def save_prediction_grid(path: str, examples: dict, outputs: dict, max_rows: int
     return path
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
-             vert_colors: np.ndarray | None = None):
-    """Write an OBJ (with optional per-vertex colors; replaces
-    save_textured_nimble's textured dump for the vertex-color pipeline)."""
+def write_png(path: str, img: np.ndarray) -> str:
+    """Minimal RGB(A) PNG writer (zlib only — no imaging libs in this env).
+
+    img: (H, W, 3|4) float in [0,1] or uint8.
+    """
+    import struct
+    import zlib
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    h, w, c = img.shape
+    color_type = 6 if c == 4 else 2
+    raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw, 6))
+           + chunk(b"IEND", b""))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(png)
+    return path
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
+             vert_colors: np.ndarray | None = None,
+             vert_uv: np.ndarray | None = None,
+             texture_image: np.ndarray | None = None):
+    """Write an OBJ: per-vertex colors, or a UV-textured mesh with MTL + PNG
+    when (vert_uv, texture_image) are given — the counterpart of the
+    reference's save_textured_nimble (utils/visualize_util.py:16,27)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    textured = vert_uv is not None and texture_image is not None
+    stem = os.path.splitext(path)[0]
     with open(path, "w") as f:
+        if textured:
+            f.write(f"mtllib {os.path.basename(stem)}.mtl\n")
         for i, v in enumerate(np.asarray(verts)):
-            if vert_colors is not None:
+            if vert_colors is not None and not textured:
                 c = np.asarray(vert_colors)[i]
                 f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
             else:
                 f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        for tri in np.asarray(faces):
-            f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+        if textured:
+            for u, vv in np.asarray(vert_uv):
+                # OBJ vt origin is bottom-left; sampler origin is top-left
+                f.write(f"vt {u:.6f} {1.0 - vv:.6f}\n")
+            f.write("usemtl hand\n")
+            for tri in np.asarray(faces):
+                a, b, c = tri + 1
+                f.write(f"f {a}/{a} {b}/{b} {c}/{c}\n")
+        else:
+            for tri in np.asarray(faces):
+                f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
+    if textured:
+        tex_path = write_png(stem + ".png", np.asarray(texture_image))
+        with open(stem + ".mtl", "w") as f:
+            f.write("newmtl hand\nKa 1.0 1.0 1.0\nKd 1.0 1.0 1.0\n"
+                    f"map_Kd {os.path.basename(tex_path)}\n")
     return path
 
 

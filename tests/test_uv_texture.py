@@ -1,0 +1,156 @@
+"""NIMBLE UV-texture pipeline: bilinear sampling, textured render parity and
+gradients, PCA texture image, textured OBJ export (VERDICT r1 item 3;
+reference models_res_nimble.py:132-142, visualize_util.py:16,27)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hifihr_tpu.render.texture import cylindrical_uv, sample_texture
+
+
+def test_sample_texture_bilinear_exact():
+    # 2x2 texel map, known analytic bilinear values
+    tex = jnp.asarray(
+        [[[[0.0, 0, 0], [1.0, 0, 0]],
+          [[0.0, 1, 0], [1.0, 1, 0]]]], jnp.float32)  # (1,2,2,3)
+    uv = jnp.asarray([[[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]]])
+    out = np.asarray(sample_texture(tex, uv))[0, 0]
+    np.testing.assert_allclose(out[0], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[1], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[2], [0, 1, 0], atol=1e-6)
+    np.testing.assert_allclose(out[3], [0.5, 0.5, 0], atol=1e-6)
+
+
+def test_sample_texture_gradient_flows():
+    tex = jnp.ones((1, 4, 4, 3)) * 0.5
+    uv = jnp.asarray([[[[0.3, 0.6]]]])
+
+    def f(t):
+        return jnp.sum(sample_texture(t, uv))
+
+    g = jax.grad(f)(tex)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    # bilinear weights sum to 1 per sampled point and channel
+    np.testing.assert_allclose(float(jnp.sum(g)), 3.0, atol=1e-5)
+
+
+def test_cylindrical_uv_in_range():
+    rng = np.random.RandomState(0)
+    verts = jnp.asarray(rng.randn(100, 3).astype(np.float32))
+    uv = np.asarray(cylindrical_uv(verts))
+    assert uv.shape == (100, 2)
+    assert (uv >= 0).all() and (uv <= 1).all()
+
+
+def test_nimble_layer_emits_uv_texture_image():
+    from hifihr_tpu.hand.nimble import NimbleLayer
+
+    layer = NimbleLayer(tex_size=64)
+    assert layer.vert_uv is not None, "UV asset missing — run tools/make_nimble_uv.py"
+    B = 2
+    params = {
+        "pose_params": jnp.zeros((B, 30)),
+        "shape_params": jnp.zeros((B, 20)),
+        "texture_params": jnp.asarray(np.random.RandomState(0).randn(B, 10), jnp.float32),
+    }
+    out = layer(params)
+    assert out["textures"].shape == (B, 64, 64, 3)
+    tex = np.asarray(out["textures"])
+    assert (tex >= 0).all() and (tex <= 1).all()
+    # PCA coefficients actually modulate the map
+    out0 = layer({**params, "texture_params": jnp.zeros((B, 10))})
+    assert float(jnp.mean(jnp.abs(out["textures"] - out0["textures"]))) > 1e-4
+
+
+def test_textured_render_matches_flat_texture():
+    """A constant texture map must render identically to per-vertex colors of
+    the same value — the UV path's correctness anchor."""
+    from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+    verts = jnp.asarray([[[-0.05, -0.05, 0.3], [0.05, -0.05, 0.3],
+                          [0.0, 0.06, 0.31], [0.0, -0.01, 0.35]]], jnp.float32)
+    faces = np.asarray([[0, 1, 2], [0, 1, 3], [1, 2, 3], [2, 0, 3]], np.int32)
+    uv = jnp.asarray([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9], [0.5, 0.5]])
+    S = 16
+    K = jnp.asarray([[[S * 2.0, 0, S / 2], [0, S * 2.0, S / 2], [0, 0, 1]]])
+    color = jnp.asarray([0.6, 0.4, 0.3])
+
+    settings = RenderSettings(S, 2, backend="jax", face_chunk=4, aa_mode="msaa")
+    r_uv = PhongRenderer(faces, settings, vert_uv=uv)
+    r_flat = PhongRenderer(faces, settings)
+    tex = jnp.broadcast_to(color, (1, 8, 8, 3))
+    vcol = jnp.broadcast_to(color, (1, 4, 3))
+    img_uv = np.asarray(r_uv(verts, vcol[..., :2] * 0, K, texture_image=tex))
+    img_flat = np.asarray(r_flat(verts, vcol, K))
+    np.testing.assert_allclose(img_uv, img_flat, atol=1e-5)
+
+
+def test_textured_render_gradient_to_texture():
+    from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+    verts = jnp.asarray([[[-0.05, -0.05, 0.3], [0.05, -0.05, 0.3],
+                          [0.0, 0.06, 0.31]]], jnp.float32)
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    uv = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]])
+    S = 16
+    K = jnp.asarray([[[S * 2.0, 0, S / 2], [0, S * 2.0, S / 2], [0, 0, 1]]])
+    r = PhongRenderer(faces, RenderSettings(S, 2, backend="jax", face_chunk=4),
+                      vert_uv=uv)
+
+    def f(tex):
+        rgba = r(verts, jnp.zeros((1, 3, 2)), K, texture_image=tex)
+        return jnp.sum(rgba[..., :3])
+
+    g = jax.grad(f)(jnp.ones((1, 8, 8, 3)) * 0.5)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_nimble_model_end_to_end_uv_render(rng):
+    from hifihr_tpu.config import Config
+    from hifihr_tpu.models.hifihr import HiFiHR
+
+    S = 32
+    cfg = Config(pretrain="res18", hand_model="nimble", render=True,
+                 light_estimation=False, image_size=S, aa_factor=2)
+    model = HiFiHR(config=cfg)
+    f = S * 1.8
+    K = jnp.asarray(np.tile(
+        np.asarray([[f, 0, S / 2], [0, f, S / 2], [0, 0, 1]], np.float32)[None],
+        (1, 1, 1)))
+    imgs = jnp.asarray(rng.rand(1, S, S, 3).astype(np.float32))
+    root = jnp.asarray([[[0.0, 0.0, 0.4]]], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, K, root, train=False)
+    out = model.apply(variables, imgs, K, root, train=False)
+    assert out["textures"].ndim == 4  # (B, Huv, Wuv, 3) UV map
+    assert out["re_img"].shape == (1, S, S, 3)
+    assert float(jnp.max(out["re_sil"])) == 255.0
+
+    # photometric losses train through the UV texture: grads reach tex head
+    def loss(v):
+        o = model.apply(v, imgs, K, root, train=False)
+        return jnp.mean(jnp.abs(o["re_img"] - imgs))
+
+    g = jax.grad(loss)(variables)
+    tex_g = g["params"]["hand_encoder"]["tex_out"]["kernel"]
+    assert float(jnp.sum(jnp.abs(tex_g))) > 0
+
+
+def test_save_textured_obj(tmp_path):
+    from hifihr_tpu.utils.visualize import save_obj
+
+    verts = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [1, 2, 3]], np.int32)
+    uv = np.random.RandomState(1).rand(4, 2).astype(np.float32)
+    tex = np.random.RandomState(2).rand(16, 16, 3).astype(np.float32)
+    path = str(tmp_path / "hand.obj")
+    save_obj(path, verts, faces, vert_uv=uv, texture_image=tex)
+    obj = open(path).read()
+    assert "mtllib hand.mtl" in obj and obj.count("vt ") == 4
+    assert "f 1/1 2/2 3/3" in obj
+    mtl = open(str(tmp_path / "hand.mtl")).read()
+    assert "map_Kd hand.png" in mtl
+    png = open(str(tmp_path / "hand.png"), "rb").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in png
