@@ -119,3 +119,150 @@ def test_lpips_conversion_parity(tmp_path):
     np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=1e-5)
     # identical inputs -> zero distance
     assert float(jnp.max(jnp.abs(metric(_nhwc(img0), _nhwc(img0))))) < 1e-6
+
+
+def test_efficientnet_conversion_parity(tmp_path):
+    """Parity against the reference's OWN vendored torch EfficientNet
+    (network/efficientnet_pt/model.py) — the exact net its checkpoints load."""
+    sys.path.insert(0, "/root/reference")
+    from network.efficientnet_pt import EfficientNet as TorchEffNet
+
+    torch.manual_seed(3)
+    tm = TorchEffNet.from_name("efficientnet-b3").eval()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.1, 0.1)
+            m.running_var.uniform_(0.8, 1.2)
+    sd_path, npz_path = str(tmp_path / "b3.pth"), str(tmp_path / "b3.npz")
+    torch.save(tm.state_dict(), sd_path)
+    conv.convert_efficientnet(sd_path, npz_path)
+
+    from hifihr_tpu.networks.efficientnet import EfficientNet
+
+    model = EfficientNet(variant="effb3")
+    x = torch.rand(1, 3, 64, 64)
+    variables = model.init(jax.random.PRNGKey(0), _nhwc(x), train=False)
+    variables = conv.load_resnet_npz_into_variables(npz_path, dict(variables))
+    with torch.no_grad():
+        feat_t, low_t = tm.extract_features(x)
+    with jax.default_matmul_precision("highest"):
+        low_j, feat_j = model.apply(variables, _nhwc(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(low_j), low_t.numpy().transpose(0, 2, 3, 1), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat_j), feat_t.numpy().transpose(0, 2, 3, 1), atol=2e-3
+    )
+
+
+def test_hrnet_conversion_roundtrip(tmp_path):
+    """No releasable HRNet checkpoint is on disk, so validate the mapping
+    structurally: synthesize an official-naming state_dict shaped after our
+    flax tree, convert, and check full coverage + value/transpose fidelity."""
+    from flax import traverse_util
+
+    from hifihr_tpu.networks.hrnet import HRNet
+
+    model = HRNet()
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    flat_p = traverse_util.flatten_dict(variables["params"], sep="/")
+    flat_s = traverse_util.flatten_dict(variables["batch_stats"], sep="/")
+
+    # inverse of the converter's name map: flax path -> official torch key
+    def torch_key(path: str) -> str | None:
+        import re
+
+        p = path
+        if p.startswith(("conv1/", "conv2/")):
+            return p.split("/")[0]
+        if p.startswith(("bn1/", "bn2/")):
+            return p.split("/")[0]
+        m = re.match(r"layer1_(\d+)/(.*)", p)
+        if m:
+            return f"layer1.{m.group(1)}.{_tb(m.group(2))}"
+        m = re.match(r"t(\d)_(conv|bn)(\d+)/", p)
+        if m:
+            s, kind, b = m.groups()
+            # our t{s}_conv{b} exists only where the flax model created it;
+            # emit the existing-branch form (.0/.1) — the converter also
+            # accepts the nested new-branch form
+            return f"transition{int(s) + 1}.{b}.{0 if kind == 'conv' else 1}"
+        m = re.match(r"stage(\d)_mod(\d+)/branch(\d+)_block(\d+)/(.*)", p)
+        if m:
+            s, mm, br, blk, rest = m.groups()
+            return f"stage{int(s) + 2}.{mm}.branches.{br}.{blk}.{_tb(rest)}"
+        m = re.match(r"stage(\d)_mod(\d+)/fuse/up_(\d)_(\d)_(conv|bn)/", p)
+        if m:
+            s, mm, i, j, kind = m.groups()
+            return f"stage{int(s) + 2}.{mm}.fuse_layers.{i}.{j}.{0 if kind == 'conv' else 1}"
+        m = re.match(r"stage(\d)_mod(\d+)/fuse/down_(\d)_(\d)_(\d)_(conv|bn)/", p)
+        if m:
+            s, mm, i, j, k, kind = m.groups()
+            return (f"stage{int(s) + 2}.{mm}.fuse_layers.{i}.{j}.{k}."
+                    f"{0 if kind == 'conv' else 1}")
+        m = re.match(r"incre(\d)/(.*)", p)
+        if m:
+            return f"incre_modules.{m.group(1)}.0.{_tb(m.group(2))}"
+        m = re.match(r"downsamp(\d)_(conv|bn)/", p)
+        if m:
+            i, kind = m.groups()
+            return f"downsamp_modules.{int(i) - 1}.{0 if kind == 'conv' else 1}"
+        return None
+
+    def _tb(rest: str) -> str:
+        name = rest.split("/")[0]
+        if name == "downsample_conv":
+            return "downsample.0"
+        if name == "downsample_bn":
+            return "downsample.1"
+        return name
+
+    rng = np.random.RandomState(1)
+    sd = {}
+    for path, arr in flat_p.items():
+        key = torch_key(path)
+        assert key is not None, f"unmapped flax param {path}"
+        leaf = path.split("/")[-1]
+        if leaf == "kernel":
+            w = rng.randn(*np.transpose(arr, (3, 2, 0, 1)).shape).astype(np.float32)
+            sd[f"{key}.weight"] = torch.from_numpy(w)
+        elif leaf == "scale":
+            sd[f"{key}.weight"] = torch.from_numpy(
+                rng.rand(*arr.shape).astype(np.float32))
+        else:  # bias
+            sd[f"{key}.bias"] = torch.from_numpy(
+                rng.randn(*arr.shape).astype(np.float32))
+    for path, arr in flat_s.items():
+        key = torch_key(path)
+        leaf = path.split("/")[-1]
+        stat = "running_mean" if leaf == "mean" else "running_var"
+        sd[f"{key}.{stat}"] = torch.from_numpy(
+            rng.rand(*arr.shape).astype(np.float32))
+
+    sd_path, npz_path = str(tmp_path / "hr.pth"), str(tmp_path / "hr.npz")
+    torch.save(sd, sd_path)
+    conv.convert_hrnet(sd_path, npz_path)
+    loaded = conv.load_resnet_npz_into_variables(npz_path, dict(variables))
+    new_p = traverse_util.flatten_dict(loaded["params"], sep="/")
+    n_changed = 0
+    for path in flat_p:
+        key = torch_key(path)
+        leaf = path.split("/")[-1]
+        if leaf == "kernel":
+            expect = np.transpose(sd[f"{key}.weight"].numpy(), (2, 3, 1, 0))
+        elif leaf == "scale":
+            expect = sd[f"{key}.weight"].numpy()
+        else:
+            expect = sd[f"{key}.bias"].numpy()
+        np.testing.assert_array_equal(np.asarray(new_p[path]), expect, err_msg=path)
+        n_changed += 1
+    assert n_changed == len(flat_p)
+
+
+def test_expand_conv1_to_4ch():
+    k = np.random.RandomState(0).randn(7, 7, 3, 64).astype(np.float32)
+    k4 = conv.expand_conv1_to_4ch(k)
+    assert k4.shape == (7, 7, 4, 64)
+    np.testing.assert_array_equal(k4[:, :, :3], k)
+    np.testing.assert_allclose(k4[:, :, 3], k.mean(axis=2) * 0.1, rtol=1e-6)

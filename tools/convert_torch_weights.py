@@ -90,6 +90,135 @@ def convert_resnet(src: str, dst: str):
     print(f"wrote {dst} ({len(out)} arrays)")
 
 
+def convert_efficientnet(src: str, dst: str):
+    """efficientnet_pytorch-style state_dict (the reference's vendored
+    network/efficientnet_pt/model.py naming) -> flax EfficientNet npz."""
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    out = {}
+
+    def put_bn(flax_name, torch_prefix):
+        out[f"params/{flax_name}/scale"] = sd[f"{torch_prefix}.weight"].numpy()
+        out[f"params/{flax_name}/bias"] = sd[f"{torch_prefix}.bias"].numpy()
+        out[f"batch_stats/{flax_name}/mean"] = sd[f"{torch_prefix}.running_mean"].numpy()
+        out[f"batch_stats/{flax_name}/var"] = sd[f"{torch_prefix}.running_var"].numpy()
+
+    out["params/conv_stem/kernel"] = _conv(sd["_conv_stem.weight"])
+    put_bn("bn_stem", "_bn0")
+    i = 0
+    while f"_blocks.{i}._depthwise_conv.weight" in sd:
+        p, f = f"_blocks.{i}", f"block{i}"
+        if f"{p}._expand_conv.weight" in sd:
+            out[f"params/{f}/expand_conv/kernel"] = _conv(sd[f"{p}._expand_conv.weight"])
+            put_bn(f"{f}/bn0", f"{p}._bn0")
+        out[f"params/{f}/depthwise_conv/kernel"] = _conv(sd[f"{p}._depthwise_conv.weight"])
+        put_bn(f"{f}/bn1", f"{p}._bn1")
+        for se in ("se_reduce", "se_expand"):
+            out[f"params/{f}/{se}/kernel"] = _conv(sd[f"{p}._{se}.weight"])
+            out[f"params/{f}/{se}/bias"] = sd[f"{p}._{se}.bias"].numpy()
+        out[f"params/{f}/project_conv/kernel"] = _conv(sd[f"{p}._project_conv.weight"])
+        put_bn(f"{f}/bn2", f"{p}._bn2")
+        i += 1
+    out["params/conv_head/kernel"] = _conv(sd["_conv_head.weight"])
+    put_bn("bn_head", "_bn1")
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} ({len(out)} arrays, {i} blocks)")
+
+
+def convert_hrnet(src: str, dst: str):
+    """Official/timm HRNet (hrnet_w18_small_v2) state_dict -> flax HRNet npz.
+
+    Covers the subgraph the encoder consumes (features_only out_indices=[4],
+    reference network/res_encoder.py:375-394): stem, layer1, transitions,
+    stages (branches + fuse layers), incre + downsample head.  Validated by a
+    structural roundtrip test until a real released checkpoint is on disk.
+    """
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    out = {}
+
+    def put(flax_name, key):
+        out[f"params/{flax_name}/kernel"] = _conv(sd[f"{key}.weight"])
+        if f"{key}.bias" in sd:
+            out[f"params/{flax_name}/bias"] = sd[f"{key}.bias"].numpy()
+
+    def put_bn(flax_name, key):
+        out[f"params/{flax_name}/scale"] = sd[f"{key}.weight"].numpy()
+        out[f"params/{flax_name}/bias"] = sd[f"{key}.bias"].numpy()
+        out[f"batch_stats/{flax_name}/mean"] = sd[f"{key}.running_mean"].numpy()
+        out[f"batch_stats/{flax_name}/var"] = sd[f"{key}.running_var"].numpy()
+
+    def put_block(flax_prefix, torch_prefix, n_convs):
+        for c in range(1, n_convs + 1):
+            put(f"{flax_prefix}/conv{c}", f"{torch_prefix}.conv{c}")
+            put_bn(f"{flax_prefix}/bn{c}", f"{torch_prefix}.bn{c}")
+        if f"{torch_prefix}.downsample.0.weight" in sd:
+            put(f"{flax_prefix}/downsample_conv", f"{torch_prefix}.downsample.0")
+            put_bn(f"{flax_prefix}/downsample_bn", f"{torch_prefix}.downsample.1")
+
+    put("conv1", "conv1")
+    put_bn("bn1", "bn1")
+    put("conv2", "conv2")
+    put_bn("bn2", "bn2")
+    k = 0
+    while f"layer1.{k}.conv1.weight" in sd:
+        put_block(f"layer1_{k}", f"layer1.{k}", 3)
+        k += 1
+    # transitions: existing-branch adapters are Sequential(Conv,BN,ReLU);
+    # new-branch adders nest one deeper (.0.0 / .0.1)
+    for s in range(3):
+        t = f"transition{s + 1}"
+        # pass-through branches are None in the official net (no keys) —
+        # scan all possible branch slots instead of stopping at the first gap
+        for b in range(4):
+            if f"{t}.{b}.0.weight" in sd:
+                put(f"t{s}_conv{b}", f"{t}.{b}.0")
+                put_bn(f"t{s}_bn{b}", f"{t}.{b}.1")
+            elif f"{t}.{b}.0.0.weight" in sd:
+                put(f"t{s}_conv{b}", f"{t}.{b}.0.0")
+                put_bn(f"t{s}_bn{b}", f"{t}.{b}.0.1")
+        # stage modules
+        m = 0
+        while f"stage{s + 2}.{m}.branches.0.0.conv1.weight" in sd:
+            sp, fp = f"stage{s + 2}.{m}", f"stage{s}_mod{m}"
+            br = 0
+            while f"{sp}.branches.{br}.0.conv1.weight" in sd:
+                blk = 0
+                while f"{sp}.branches.{br}.{blk}.conv1.weight" in sd:
+                    put_block(f"{fp}/branch{br}_block{blk}",
+                              f"{sp}.branches.{br}.{blk}", 2)
+                    blk += 1
+                br += 1
+            for i in range(br):
+                for j in range(br):
+                    if j > i and f"{sp}.fuse_layers.{i}.{j}.0.weight" in sd:
+                        put(f"{fp}/fuse/up_{i}_{j}_conv", f"{sp}.fuse_layers.{i}.{j}.0")
+                        put_bn(f"{fp}/fuse/up_{i}_{j}_bn", f"{sp}.fuse_layers.{i}.{j}.1")
+                    elif j < i:
+                        for kk in range(i - j):
+                            key = f"{sp}.fuse_layers.{i}.{j}.{kk}.0"
+                            if f"{key}.weight" in sd:
+                                put(f"{fp}/fuse/down_{i}_{j}_{kk}_conv", key)
+                                put_bn(f"{fp}/fuse/down_{i}_{j}_{kk}_bn",
+                                       f"{sp}.fuse_layers.{i}.{j}.{kk}.1")
+            m += 1
+    for i in range(4):
+        if f"incre_modules.{i}.0.conv1.weight" in sd:
+            put_block(f"incre{i}", f"incre_modules.{i}.0", 3)
+        if i >= 1 and f"downsamp_modules.{i - 1}.0.weight" in sd:
+            put(f"downsamp{i}_conv", f"downsamp_modules.{i - 1}.0")
+            put_bn(f"downsamp{i}_bn", f"downsamp_modules.{i - 1}.1")
+    np.savez_compressed(dst, **out)
+    print(f"wrote {dst} ({len(out)} arrays)")
+
+
+def expand_conv1_to_4ch(kernel: np.ndarray) -> np.ndarray:
+    """(kh, kw, 3, out) -> (kh, kw, 4, out): heatmap channel initialised from
+    the RGB mean (reference res_encoder.py:356-358; the reference's own
+    `mean(weight, dim=-1) * 0.1` has a shape bug, so the intended
+    mean-over-input-channels is used)."""
+    extra = kernel.mean(axis=2, keepdims=True) * 0.1
+    return np.concatenate([kernel, extra], axis=2)
+
+
 def load_resnet_npz_into_variables(npz_path: str, variables: dict) -> dict:
     """Merge a converted resnet npz into a flax variables tree (backbone scope)."""
     import flax
@@ -120,5 +249,9 @@ if __name__ == "__main__":
         convert_lpips(sys.argv[2], sys.argv[3], sys.argv[4])
     elif kind.startswith("res"):
         convert_resnet(sys.argv[2], sys.argv[3])
+    elif kind.startswith("eff"):
+        convert_efficientnet(sys.argv[2], sys.argv[3])
+    elif kind.startswith("hr"):
+        convert_hrnet(sys.argv[2], sys.argv[3])
     else:
         raise SystemExit(f"unknown kind {kind}")
