@@ -51,6 +51,9 @@ class Config:
     # heatmap branch (reference rgb2hm stacked hourglass; train_utils.py:104-111)
     rgb2hm: bool = False
     freeze_hm_estimator: bool = False
+    # parallelism: fsdp>1 selects the 2-D ('data','fsdp') mesh — hybrid DP +
+    # ZeRO-style param/optimizer sharding (parallel/mesh.py). 1 = pure DP.
+    fsdp: int = 1
     # encoder compute dtype; params stay float32. bfloat16 doubles MXU rate.
     compute_dtype: str = "bfloat16"
 

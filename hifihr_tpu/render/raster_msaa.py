@@ -35,7 +35,7 @@ _ROW = 16  # padded row: [ax ay az bx by bz cx cy cz face_id 0...]
 
 
 def _kernel(tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int, tile_w: int,
-            n_bin: int, samples: int):
+            n_bin: int, samples: int, faces_per_iter: int = 2):
     i = pl.program_id(1)
     j = pl.program_id(2)
     row0 = (i * tile_h).astype(jnp.float32)
@@ -55,7 +55,7 @@ def _kernel(tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int, tile_w: int,
         # sentinel rows have z == 0 (valid faces require z > 1e-6)
         return jnp.logical_and(k < n_bin, tab_ref[0, 0, k, 2] > 1e-6)
 
-    def body(k):
+    def process(k):
         ax, ay, az = tab_ref[0, 0, k, 0], tab_ref[0, 0, k, 1], tab_ref[0, 0, k, 2]
         bx, by, bz = tab_ref[0, 0, k, 3], tab_ref[0, 0, k, 4], tab_ref[0, 0, k, 5]
         cx, cy, cz = tab_ref[0, 0, k, 6], tab_ref[0, 0, k, 7], tab_ref[0, 0, k, 8]
@@ -105,7 +105,16 @@ def _kernel(tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int, tile_w: int,
         zbuf_ref[0] = jnp.where(better, best_z, zb)
         fid_ref[0] = jnp.where(better, jnp.broadcast_to(f, shape), fid)
         cov_ref[0] = cov_bits
-        return k + 1
+
+    def body(k):
+        # unrolled pair: halves while_loop/cond overhead and lets the two
+        # faces' scalar table loads overlap the vector work.  Sentinel rows
+        # (all zeros) are self-neutralising: area == 0 -> area_ok False ->
+        # no subsample passes the inside test, so no guard is needed for the
+        # second slot, and n_bin is a multiple of 8 so k+1 stays in range.
+        for d in range(faces_per_iter):
+            process(k + d)
+        return k + faces_per_iter
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 

@@ -56,7 +56,7 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.eval_gt = eval_gt  # {'xyz': (N,21,3), 'verts': (N,778,3)}
-        self.mesh = make_mesh()
+        self.mesh = make_mesh(fsdp=config.fsdp)
         self.out_dir = out_dir or config.base_out_path
         os.makedirs(self.out_dir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(self.out_dir, "model"),

@@ -51,6 +51,48 @@ def test_sharded_train_step_loss_decreases():
     assert len(batch["imgs"].sharding.device_set) == 8
 
 
+def test_fsdp_mesh_train_step():
+    """Hybrid DP+FSDP on a (4,2) mesh: params shard over 'fsdp', batch over
+    both axes, and the step matches the pure-DP result (same math, different
+    layout)."""
+    from jax.sharding import PartitionSpec
+
+    cfg = Config(
+        pretrain="res18", hand_model="mano", render=False, light_estimation=False,
+        image_size=S, losses=("joint_3d", "mshape", "mpose"),
+    )
+    model = HiFiHR(config=cfg)
+    ds = SyntheticHandDataset(size=8, image_size=S)
+    batch = _to_jnp(next(iter(BatchLoader(ds, batch_size=8, shuffle=False))))
+
+    lc = LossComputer(cfg)
+    step = make_train_step(model, lc, "FreiHand", cfg)
+    sched = make_sched(cfg, 0)
+
+    def run(mesh):
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+        state = replicate(state, mesh)
+        b = shard_batch(batch, mesh)
+        new_state, loss_dic = step(state, b, sched)
+        return new_state, float(loss_dic["total"])
+
+    mesh_dp = make_mesh()
+    mesh_fsdp = make_mesh(fsdp=2)
+    assert dict(mesh_fsdp.shape) == {"data": 4, "fsdp": 2}
+    state_fsdp, loss_fsdp = run(mesh_fsdp)
+    _, loss_dp = run(mesh_dp)
+    # bf16 encoder compute: collective/reduction order differs between the
+    # layouts, so agreement is to bf16-accumulation tolerance, not exact
+    np.testing.assert_allclose(loss_fsdp, loss_dp, rtol=2e-2)
+    # at least the big dense kernels must actually shard over 'fsdp'
+    sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(state_fsdp.params)
+        if getattr(leaf.sharding, "spec", PartitionSpec()) != PartitionSpec()
+    ]
+    assert sharded, "no parameter sharded over the fsdp axis"
+    assert all(len(leaf.sharding.device_set) == 8 for leaf in sharded)
+
+
 def test_lr_schedule_multistep():
     cfg = Config(init_lr=1e-3, lr_steps=(2,), lr_gamma=0.1)
     sched = make_lr_schedule(cfg, steps_per_epoch=10)

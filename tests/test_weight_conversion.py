@@ -260,6 +260,41 @@ def test_hrnet_conversion_roundtrip(tmp_path):
     assert n_changed == len(flat_p)
 
 
+def test_openpose_conversion_parity(tmp_path):
+    """Parity against the reference's vendored CPM handpose_model
+    (utils/openpose_detector/src/model.py:143-220) through
+    tools/convert_openpose.py — validates conv mapping, concat order
+    (heatmaps-first), relu placement and padding."""
+    sys.path.insert(0, "/root/reference")
+    from utils.openpose_detector.src.model import handpose_model
+
+    torch.manual_seed(4)
+    tm = handpose_model().eval()
+    sd_path = str(tmp_path / "hand_pose_model.pth")
+    npz_path = str(tmp_path / "openpose_hand.npz")
+    torch.save(tm.state_dict(), sd_path)
+    import convert_openpose
+
+    convert_openpose.main(sd_path, npz_path)
+
+    from hifihr_tpu.networks.openpose_hand import HandposeCPM
+
+    model = HandposeCPM()
+    with np.load(npz_path) as z:
+        p = {}
+        for key in z.files:
+            layer, kind = key.rsplit("_", 1)
+            p.setdefault(layer, {})[kind] = jnp.asarray(z[key])
+    x = torch.rand(1, 3, 64, 64) - 0.5
+    with torch.no_grad():
+        hm_t = tm(x)
+    with jax.default_matmul_precision("highest"):
+        hm_j = model.apply({"params": p}, _nhwc(x))
+    np.testing.assert_allclose(
+        np.asarray(hm_j), hm_t.numpy().transpose(0, 2, 3, 1), atol=2e-4
+    )
+
+
 def test_expand_conv1_to_4ch():
     k = np.random.RandomState(0).randn(7, 7, 3, 64).astype(np.float32)
     k4 = conv.expand_conv1_to_4ch(k)
