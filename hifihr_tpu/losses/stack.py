@@ -133,6 +133,18 @@ class LossComputer:
                 jnp.sum(dist * conf**2) / jnp.maximum(jnp.sum(conf**2), 1e-8)
             )
 
+        if "open_2dj_de" in loss_used and "open_2dj" in examples:
+            # downgrade variant: plain MSE to the pseudo-labels (losses.py:58-63)
+            d["open_2dj_de"] = cfg.lambda_j2d_de * jnp.mean(
+                (examples["open_2dj"] - outputs["j2d"]) ** 2
+            )
+
+        if "joint_3d_norm" in loss_used and "joints" in examples:
+            # root-relative 3D joints (losses.py:71-74)
+            po = outputs["joints"] - outputs["joints"][:, 9:10]
+            pe = examples["joints"] - examples["joints"][:, 9:10]
+            d["joint_3d_norm"] = cfg.lambda_j3d_norm * jnp.mean((po - pe) ** 2)
+
         if "open_bone_direc" in loss_used and "open_2dj" in examples:
             d["open_bone_direc"] = cfg.lambda_bone_direc * basic.bone_direction_loss(
                 outputs["j2d"], examples["open_2dj"], examples["open_2dj_con"]

@@ -29,11 +29,13 @@ def fragment_interpolate(
 
     Returns (pix_attrs (B, H, W, D), mask (B, H, W), zbuf).
     """
+    from hifihr_tpu.render.mesh import gather_face_rows
+
     B, H, W = face_id.shape
     F = faces.shape[0]
     D = vert_attrs.shape[-1]
-    tri = verts_screen[:, faces].reshape(B, F, 9)
-    corner_attrs = vert_attrs[:, faces].reshape(B, F, 3 * D)
+    tri = gather_face_rows(verts_screen, faces)  # (B, F, 9) — MXU on small meshes
+    corner_attrs = gather_face_rows(vert_attrs, faces)  # (B, F, 3D)
     table = jnp.concatenate([tri, corner_attrs], axis=-1)  # (B, F, 9+3D)
 
     b_idx = jnp.arange(B)[:, None, None]

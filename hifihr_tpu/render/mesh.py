@@ -9,10 +9,37 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# TPU gathers/scatters of tiny (12-48 byte) rows cost ~100 ns of descriptor
+# issue EACH — at batch 64 the (B, V, 3)[:, faces] corner gather alone was
+# 29 ms of the raster forward.  Below this element-count limit the static
+# topology is applied as a one-hot MATMUL instead (MXU, ~0.1 ms, and its
+# transpose handles the backward scatter the same way).  MANO (3*1538*778 =
+# 3.6M) uses the matmul; NIMBLE's 5990-vert mesh (214M) falls back to gather.
+_ONEHOT_LIMIT = 8_000_000
+
+
+def _corner_onehot(faces: jnp.ndarray, n_verts: int, dtype) -> jnp.ndarray:
+    """(3F, V) one-hot corner-selection matrix, built in-graph (fused compare
+    — never an HLO constant)."""
+    flat = faces.reshape(-1)
+    return (flat[:, None] == jnp.arange(n_verts)[None, :]).astype(dtype)
+
+
+def gather_face_rows(x: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """x (B, V, D), faces (F, 3) -> (B, F, 3D) packed corner rows
+    [a_0..a_D b_0..b_D c_0..c_D]."""
+    B, V, D = x.shape
+    F = faces.shape[0]
+    if 3 * F * V <= _ONEHOT_LIMIT:
+        sel = _corner_onehot(faces, V, x.dtype)
+        return jnp.einsum("fv,bvd->bfd", sel, x).reshape(B, F, 3 * D)
+    return x[:, faces].reshape(B, F, 3 * D)
+
 
 def face_vertices(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """verts (B, V, D), faces (F, 3) -> (B, F, 3, D)."""
-    return verts[:, faces]
+    B, V, D = verts.shape
+    return gather_face_rows(verts, faces).reshape(B, faces.shape[0], 3, D)
 
 
 def face_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
@@ -24,16 +51,24 @@ def face_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
 def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """Area-weighted vertex normals, (B, V, 3), unit length.
 
-    Differentiable w.r.t. verts; scatter-add over the static topology compiles
-    to an efficient XLA scatter.
+    Differentiable w.r.t. verts.  Face-normal accumulation onto vertices is
+    the transpose of the corner selection: one matmul with the (V, F)
+    incidence matrix on small meshes, XLA scatter-add on large ones.
     """
-    fn = face_normals(verts, faces)  # (B, F, 3)
-    v_normals = jnp.zeros_like(verts)
-    for k in range(3):
-        v_normals = v_normals.at[:, faces[:, k]].add(fn)
-    # eps inside the sqrt: finite gradient for degenerate (zero-normal) verts
     import jax
 
+    fn = face_normals(verts, faces)  # (B, F, 3)
+    V = verts.shape[1]
+    F = faces.shape[0]
+    if 3 * F * V <= _ONEHOT_LIMIT:
+        inc = _corner_onehot(faces, V, fn.dtype)  # (3F, V)
+        inc = inc.reshape(F, 3, V).sum(1)  # (F, V) corner counts
+        v_normals = jnp.einsum("fv,bfd->bvd", inc, fn)
+    else:
+        v_normals = jnp.zeros_like(verts)
+        for k in range(3):
+            v_normals = v_normals.at[:, faces[:, k]].add(fn)
+    # eps inside the sqrt: finite gradient for degenerate (zero-normal) verts
     return v_normals * jax.lax.rsqrt(
         jnp.sum(v_normals * v_normals, axis=-1, keepdims=True) + 1e-20
     )
