@@ -93,7 +93,7 @@ def laplacian_loss(verts: jnp.ndarray, laplacian: jnp.ndarray) -> jnp.ndarray:
     Matches pytorch3d mesh_laplacian_smoothing(method='uniform')
     (losses_util.py:340-364) given the precomputed dense L.
     """
-    lap = jnp.einsum("uv,bvd->bud", laplacian, verts)
+    lap = jnp.einsum("uv,bvd->bud", laplacian, verts, precision="highest")
     return jnp.mean(jnp.linalg.norm(lap, axis=-1))
 
 
@@ -110,6 +110,6 @@ def chamfer_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> tuple:
     d2 = (
         jnp.sum(pred**2, -1)[:, :, None]
         + jnp.sum(gt**2, -1)[:, None, :]
-        - 2.0 * jnp.einsum("bnd,bmd->bnm", pred, gt)
+        - 2.0 * jnp.einsum("bnd,bmd->bnm", pred, gt, precision="highest")
     )
     return jnp.mean(jnp.min(d2, axis=2), axis=1), jnp.mean(jnp.min(d2, axis=1), axis=1)

@@ -22,13 +22,16 @@ def fragment_interpolate(
     """Fused barycentric + attribute interpolation via ONE per-pixel gather.
 
     Packs each face's screen coords and corner attributes into a (B, F, 9+3D)
-    table (tiny gathers over F), then fetches one row per pixel.  On TPU a
-    single-index gather of a contiguous row is ~6x faster than three
-    per-vertex gathers at (B, H, W, 3) indices; backward is a cheap scatter
-    over the F-row table.
+    table (tiny gathers over F), then fetches one row per pixel.  On TPU the
+    per-pixel fetch runs as an MXU one-hot matmul (render/gather_mxu.py) —
+    XLA's dynamic row gather costs ~60 ms fwd / ~45 ms bwd at batch 64,
+    224^2; the matmul form is single-digit ms both ways.  Elsewhere it is a
+    plain indexed gather.
 
     Returns (pix_attrs (B, H, W, D), mask (B, H, W), zbuf).
     """
+    import jax
+
     from hifihr_tpu.render.mesh import gather_face_rows
 
     B, H, W = face_id.shape
@@ -38,8 +41,15 @@ def fragment_interpolate(
     corner_attrs = gather_face_rows(vert_attrs, faces)  # (B, F, 3D)
     table = jnp.concatenate([tri, corner_attrs], axis=-1)  # (B, F, 9+3D)
 
-    b_idx = jnp.arange(B)[:, None, None]
-    pix = table[b_idx, jnp.maximum(face_id, 0)]  # (B, H, W, 9+3D)
+    if jax.default_backend() == "tpu":
+        from hifihr_tpu.render.gather_mxu import gather_rows
+
+        pix = gather_rows(table, face_id.reshape(B, H * W)).reshape(
+            B, H, W, 9 + 3 * D
+        )  # background rows come back all-zero; the math below masks them
+    else:
+        b_idx = jnp.arange(B)[:, None, None]
+        pix = table[b_idx, jnp.maximum(face_id, 0)]  # (B, H, W, 9+3D)
 
     px = jnp.arange(W, dtype=verts_screen.dtype) + 0.5
     py = jnp.arange(H, dtype=verts_screen.dtype) + 0.5
@@ -62,9 +72,16 @@ def fragment_interpolate(
     denom = jnp.sum(wp, axis=-1, keepdims=True)
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     bary = wp / denom  # (B, H, W, 3) perspective-correct
+    # sliver guard: a near-degenerate face that wins a pixel would otherwise
+    # produce unbounded barycentrics (area -> 0).  [-4, 5] is identity for
+    # every sane pixel (interior is [0, 1], silhouette centres go slightly
+    # outside) but bounds the attrs a pathological face can contribute.
+    bary = jnp.clip(bary, -4.0, 5.0)
 
     attrs3 = pix[..., 9:].reshape(B, H, W, 3, D)
-    out = jnp.einsum("bhwk,bhwkd->bhwd", bary, attrs3)
+    # fp32 contraction: the TPU default (bf16) would quantise interpolated
+    # positions/normals visibly (bf16 ulp at 224 px is ~1)
+    out = jnp.einsum("bhwk,bhwkd->bhwd", bary, attrs3, precision="highest")
     mask = (face_id >= 0).astype(verts_screen.dtype)
     zbuf = jnp.where(face_id >= 0, 1.0 / denom[..., 0], jnp.inf)
     return out * mask[..., None], mask, zbuf
@@ -112,6 +129,7 @@ def barycentric_coords(
     denom = jnp.sum(wp, axis=-1, keepdims=True)
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     bary = wp / denom
+    bary = jnp.clip(bary, -4.0, 5.0)  # sliver guard (see fragment_interpolate)
 
     zbuf = 1.0 / denom[..., 0]
     mask = (face_id >= 0).astype(verts_screen.dtype)

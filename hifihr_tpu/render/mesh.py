@@ -7,6 +7,7 @@ faces array are sufficient and XLA-friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # TPU gathers/scatters of tiny (12-48 byte) rows cost ~100 ns of descriptor
@@ -16,6 +17,12 @@ import jax.numpy as jnp
 # transpose handles the backward scatter the same way).  MANO (3*1538*778 =
 # 3.6M) uses the matmul; NIMBLE's 5990-vert mesh (214M) falls back to gather.
 _ONEHOT_LIMIT = 8_000_000
+
+# The selection matmuls MUST run at fp32 precision: jax's default TPU matmul
+# precision is bfloat16, which would quantise screen coordinates to ~0.5 px
+# at 224^2 (bf16 ulp at 224 is 1.0) and visibly shift rasterised faces.  The
+# one-hot operand is exact, so HIGHEST makes the "gather" bit-exact.
+_EXACT = jax.lax.Precision.HIGHEST
 
 
 def _corner_onehot(faces: jnp.ndarray, n_verts: int, dtype) -> jnp.ndarray:
@@ -32,7 +39,7 @@ def gather_face_rows(x: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     F = faces.shape[0]
     if 3 * F * V <= _ONEHOT_LIMIT:
         sel = _corner_onehot(faces, V, x.dtype)
-        return jnp.einsum("fv,bvd->bfd", sel, x).reshape(B, F, 3 * D)
+        return jnp.einsum("fv,bvd->bfd", sel, x, precision=_EXACT).reshape(B, F, 3 * D)
     return x[:, faces].reshape(B, F, 3 * D)
 
 
@@ -63,7 +70,7 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     if 3 * F * V <= _ONEHOT_LIMIT:
         inc = _corner_onehot(faces, V, fn.dtype)  # (3F, V)
         inc = inc.reshape(F, 3, V).sum(1)  # (F, V) corner counts
-        v_normals = jnp.einsum("fv,bfd->bvd", inc, fn)
+        v_normals = jnp.einsum("fv,bfd->bvd", inc, fn, precision=_EXACT)
     else:
         v_normals = jnp.zeros_like(verts)
         for k in range(3):

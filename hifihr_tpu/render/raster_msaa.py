@@ -6,7 +6,9 @@ shading/interpolation cost purely for edge anti-aliasing.  This kernel
 instead evaluates the 3x3 subsample grid *inside* the rasteriser at base
 resolution and outputs per-pixel:
 
-  face_id  — nearest face over all subsamples (stable interior selection)
+  face_id  — face with the nearest affine z-plane at the PIXEL CENTER among
+             faces covering any subsample (standard MSAA depth resolve;
+             PyTorch3D's per-pixel z-test is center-based too)
   coverage — fraction of the 9 subsamples covered by any face.  This equals
              the reference's avg-pooled alpha channel EXACTLY (the pooled
              alpha is exactly the covered-subsample fraction), so silhouettes
@@ -17,10 +19,18 @@ Shading then runs once per output pixel (9x less interpolation/Phong work).
 Layout (the perf-critical part, measured on v5e): face data is packed
 8 faces x 16 floats into 128-lane rows, so both the host-side binning gather
 and the kernel's per-program block DMA move contiguous 512-byte lane-aligned
-rows.  The earlier one-face-per-row (n_bin, 16) layout forced Mosaic into a
-64-byte strided transfer per face — DMA descriptor issue dominated the whole
-kernel (~80 ms of a 104 ms forward at batch 64; this layout is ~20x less
-descriptor traffic).
+rows.  One-face-per-row (n_bin, 16) layouts force Mosaic into a 64-byte
+strided transfer per face — DMA descriptor issue dominates the whole kernel.
+
+Per-face work is minimised by hoisting ALL scalar geometry to the XLA prep:
+each slot carries sign-premultiplied EDGE COEFFICIENTS e_i(u,v) = eu*u +
+ev*v + ec (inside test = all three e_i >= 0, no per-face area/sign/culling
+arithmetic in-kernel) plus an affine Z-PLANE (zu, zv, zc) — the affine
+interpolation of vertex z IS affine in screen (u, v), so one fma yields the
+depth the old kernel needed nine edge-weighted sums for.  The subsample walk
+is incremental (one vector add per edge per subsample) and the inside test is
+min3 >= 0.  Invalid/culled faces are encoded as all-zero coefficients with
+e0c = -1: never inside, zero cost.
 
 Binning: the host computes only per-tile COMPACTED INDEX LISTS into the
 per-image packed table (row bbox = union of its 8 faces' bboxes) — no
@@ -30,8 +40,7 @@ repeated DMAs; the index lists ride in SMEM, where dynamic scalar reads are
 free.  The kernel walks its list with an early-exit while_loop (valid
 indices first, -1 padded), reads face rows at *dynamic sublane* indices
 (allowed; dynamic lane indexing is not) and processes the row's 8 faces at
-static lane offsets; all-zero face slots self-neutralise (area == 0), so
-empty tiles cost ~nothing and busy tiles only touch overlapping rows.
+static lane offsets.
 """
 
 from __future__ import annotations
@@ -43,7 +52,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SLOT = 16  # floats per face: [ax ay az bx by bz cx cy cz fid 0...]
+# floats per face: [e0u e0v e0c e1u e1v e1c e2u e2v e2c zu zv zc fid zmin zmax 0]
+# zmin/zmax clamp the z-plane at the pixel centre: for sliver faces the
+# affine extrapolation outside the face is unbounded (area -> 0 makes the
+# plane arbitrarily steep) and an unclamped sliver would win the z-test at
+# pixels it barely touches; clamping to the face's own vertex-z range
+# restores the bounded convex-combination z the SSAA kernel resolves with.
+_SLOT = 16
 _PACK = 8  # faces per 128-lane row
 
 
@@ -58,12 +73,17 @@ def _kernel(idx_ref, tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int,
     base_v = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32) + row0
     base_u = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32) + col0
 
+    n_sub = samples * samples
+    step = 1.0 / samples
+    # subsample (0,0) centre and pixel centre, hoisted across the row walk
+    U0 = base_u + 0.5 * step
+    V0 = base_v + 0.5 * step
+    Uc = base_u + 0.5
+    Vc = base_v + 0.5
+
     fid_ref[0, 0] = jnp.full(shape, -1, jnp.int32)
     zbuf_ref[0, 0] = jnp.full(shape, jnp.inf, jnp.float32)
     cov_ref[0, 0] = jnp.zeros(shape, jnp.int32)
-
-    n_sub = samples * samples
-    step = 1.0 / samples
 
     def cond(k):
         # the per-tile index list is -1 padded past its valid prefix
@@ -76,50 +96,42 @@ def _kernel(idx_ref, tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int,
         fid = fid_ref[0, 0]
         for s in range(_PACK):  # static lane offsets within the 128-lane row
             o = s * _SLOT
-            ax, ay, az = tab_ref[0, r, o + 0], tab_ref[0, r, o + 1], tab_ref[0, r, o + 2]
-            bx, by, bz = tab_ref[0, r, o + 3], tab_ref[0, r, o + 4], tab_ref[0, r, o + 5]
-            cx, cy, cz = tab_ref[0, r, o + 6], tab_ref[0, r, o + 7], tab_ref[0, r, o + 8]
-            f = tab_ref[0, r, o + 9].astype(jnp.int32)
+            e0u, e0v, e0c = tab_ref[0, r, o + 0], tab_ref[0, r, o + 1], tab_ref[0, r, o + 2]
+            e1u, e1v, e1c = tab_ref[0, r, o + 3], tab_ref[0, r, o + 4], tab_ref[0, r, o + 5]
+            e2u, e2v, e2c = tab_ref[0, r, o + 6], tab_ref[0, r, o + 7], tab_ref[0, r, o + 8]
+            zu, zv, zc = tab_ref[0, r, o + 9], tab_ref[0, r, o + 10], tab_ref[0, r, o + 11]
+            f = tab_ref[0, r, o + 12].astype(jnp.int32)
+            zmin, zmax = tab_ref[0, r, o + 13], tab_ref[0, r, o + 14]
 
-            # the barycentric denominator e0+e1+e2 is the (constant) signed
-            # face area: hoist it to SCALARS — no per-pixel divisions,
-            # inside-test via sign(area)-premultiplied edge functions.
-            # All-zero slots (padding / culled faces) give area == 0 ->
-            # area_ok False -> no subsample passes: self-neutralising.
-            area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-            area_ok = jnp.logical_and(jnp.abs(area) > 1e-12, az > 1e-6)
-            inv_area = jnp.where(area_ok, 1.0 / jnp.where(area_ok, area, 1.0), 0.0)
-            sgn = jnp.where(area < 0, -1.0, 1.0)
+            # row-start edge values at subsample (0,0); one fma-chain each
+            e0r = e0u * U0 + (e0v * V0 + e0c)
+            e1r = e1u * U0 + (e1v * V0 + e1c)
+            e2r = e2u * U0 + (e2v * V0 + e2c)
+            z_c = zu * Uc + (zv * Vc + zc)  # depth plane at the pixel centre
+            z_c = jnp.minimum(jnp.maximum(z_c, zmin), zmax)
 
-            # edge coefficients: e(u, v) = eu*u + ev*v + ec
-            e0u, e0v = -(cy - by), (cx - bx)
-            e0c = -(cx - bx) * by + (cy - by) * bx
-            e1u, e1v = -(ay - cy), (ax - cx)
-            e1c = -(ax - cx) * cy + (ay - cy) * cx
-            e2u, e2v = -(by - ay), (bx - ax)
-            e2c = -(bx - ax) * ay + (by - ay) * ax
+            du0, du1, du2 = e0u * step, e1u * step, e2u * step  # scalar increments
+            dv0, dv1, dv2 = e0v * step, e1v * step, e2v * step
 
-            best_z = jnp.full(shape, jnp.inf, jnp.float32)
-            e0_00 = e0u * (base_u + 0.5 * step) + e0v * (base_v + 0.5 * step) + e0c
-            e1_00 = e1u * (base_u + 0.5 * step) + e1v * (base_v + 0.5 * step) + e1c
-            e2_00 = e2u * (base_u + 0.5 * step) + e2v * (base_v + 0.5 * step) + e2c
+            bits_f = jnp.zeros(shape, jnp.int32)
             for sy in range(samples):
+                if sy:
+                    e0r = e0r + dv0
+                    e1r = e1r + dv1
+                    e2r = e2r + dv2
+                c0, c1, c2 = e0r, e1r, e2r
                 for sx in range(samples):
-                    d = sx * step
-                    dv = sy * step
-                    e0 = e0_00 + e0u * d + e0v * dv
-                    e1 = e1_00 + e1u * d + e1v * dv
-                    e2 = e2_00 + e2u * d + e2v * dv
-                    inside = (
-                        (sgn * e0 >= 0) & (sgn * e1 >= 0) & (sgn * e2 >= 0) & area_ok
-                    )
-                    z = (e0 * az + e1 * bz + e2 * cz) * inv_area
-                    s_idx = sy * samples + sx
-                    cov_bits = jnp.where(inside, cov_bits | (1 << s_idx), cov_bits)
-                    best_z = jnp.where(inside & (z < best_z), z, best_z)
-            better = best_z < zb
-            zb = jnp.where(better, best_z, zb)
+                    if sx:
+                        c0 = c0 + du0
+                        c1 = c1 + du1
+                        c2 = c2 + du2
+                    m = jnp.minimum(jnp.minimum(c0, c1), c2)
+                    bit_val = 1 << (sy * samples + sx)
+                    bits_f = jnp.where(m >= 0, bits_f | bit_val, bits_f)
+            better = (bits_f > 0) & (z_c < zb)
+            zb = jnp.where(better, z_c, zb)
             fid = jnp.where(better, jnp.broadcast_to(f, shape), fid)
+            cov_bits = cov_bits | bits_f
         zbuf_ref[0, 0] = zb
         fid_ref[0, 0] = fid
         cov_ref[0, 0] = cov_bits
@@ -144,11 +156,16 @@ def rasterize_msaa_pallas(
     faces: jnp.ndarray,
     image_size: int,
     tile: int = 128,  # tile width (lane dim; multiples of 128)
-    tile_h: int = 32,  # tile height (sublane dim); small tiles => tight bins
+    tile_h: int = 16,  # tile height (sublane dim); small tiles => tight bins
     samples: int = 3,
     interpret: bool = False,
 ):
-    """Returns (face_id (B,S,S) int32, coverage (B,S,S) float in [0,1], zbuf)."""
+    """Returns (face_id (B,S,S) int32, coverage (B,S,S) float in [0,1], zbuf).
+
+    zbuf is the selected face's affine z-plane evaluated at the pixel centre
+    (inf on background) — the MSAA render path recomputes its own
+    perspective-correct depth during interpolation and ignores this output.
+    """
     verts_screen = jax.lax.stop_gradient(verts_screen)
     B = verts_screen.shape[0]
     F = faces.shape[0]
@@ -162,33 +179,60 @@ def rasterize_msaa_pallas(
 
     tri = gather_face_rows(verts_screen, faces).astype(jnp.float32)  # (B,F,9)
     zok = jnp.min(tri[:, :, 2::3], axis=-1) > 1e-6
-    tri = jnp.where(zok[..., None], tri, 0.0)  # cull once; zero slots are inert
+
+    # precompute sign-premultiplied edge coefficients + affine z-plane: the
+    # kernel's per-face scalar work collapses to 13 SMEM-free VMEM loads
+    ax, ay, az = tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
+    bx, by, bz = tri[:, :, 3], tri[:, :, 4], tri[:, :, 5]
+    cx, cy, cz = tri[:, :, 6], tri[:, :, 7], tri[:, :, 8]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    valid = zok & (jnp.abs(area) > 1e-12)
+    sg = jnp.where(area < 0, -1.0, 1.0)
+    e0u, e0v, e0c = -(cy - by) * sg, (cx - bx) * sg, ((cy - by) * bx - (cx - bx) * by) * sg
+    e1u, e1v, e1c = -(ay - cy) * sg, (ax - cx) * sg, ((ay - cy) * cx - (ax - cx) * cy) * sg
+    e2u, e2v, e2c = -(by - ay) * sg, (bx - ax) * sg, ((by - ay) * ax - (bx - ax) * ay) * sg
+    inv = 1.0 / jnp.where(valid, jnp.abs(area), 1.0)
+    zu = (e0u * az + e1u * bz + e2u * cz) * inv
+    zv = (e0v * az + e1v * bz + e2v * cz) * inv
+    zc = (e0c * az + e1c * bz + e2c * cz) * inv
+    fid_f = jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None], (B, F))
+    zmin = jnp.minimum(jnp.minimum(az, bz), cz)
+    zmax = jnp.maximum(jnp.maximum(az, bz), cz)
+    coef = jnp.stack(
+        [e0u, e0v, e0c, e1u, e1v, e1c, e2u, e2v, e2c, zu, zv, zc, fid_f,
+         zmin, zmax], axis=-1
+    )
+    # invalid/padded faces: all-zero with e0c = -1 -> never inside, inert
+    inert = jnp.zeros((15,), jnp.float32).at[2].set(-1.0)
+    coef = jnp.where(valid[..., None], coef, inert)
 
     # pack 8 faces x 16 floats into one 128-lane row (contiguous DMA unit)
     n_rows = -(-F // _PACK)
     F8 = n_rows * _PACK
-    slot = jnp.concatenate(
-        [
-            tri,
-            jnp.broadcast_to(jnp.arange(F, dtype=jnp.float32)[None, :, None], (B, F, 1)),
-            jnp.zeros((B, F, _SLOT - 10), jnp.float32),
-        ],
-        axis=-1,
-    )  # (B, F, 16)
-    slot = jnp.pad(slot, ((0, 0), (0, F8 - F), (0, 0)))
+    slot = jnp.concatenate([coef, jnp.zeros((B, F, _SLOT - 15), jnp.float32)], axis=-1)
+    slot = jnp.pad(slot, ((0, 0), (0, F8 - F), (0, 0)),
+                   constant_values=0.0)
+    # padded faces must be inert too: zero rows have e0c == 0 -> e0 == 0 >= 0!
+    # overwrite their e0c with -1
+    if F8 > F:
+        pad_fix = jnp.zeros((B, F8 - F, _SLOT), jnp.float32).at[:, :, 2].set(-1.0)
+        slot = slot.at[:, F:, :].set(pad_fix)
     packed = slot.reshape(B, n_rows, _PACK * _SLOT)
     n_rows_pad = -(-n_rows // 8) * 8
-    packed = jnp.pad(packed, ((0, 0), (0, n_rows_pad - n_rows), (0, 0)))
+    if n_rows_pad > n_rows:
+        pad_rows = jnp.zeros((B, n_rows_pad - n_rows, _PACK * _SLOT), jnp.float32)
+        pad_rows = pad_rows.at[:, :, 2::_SLOT].set(-1.0)
+        packed = jnp.concatenate([packed, pad_rows], axis=1)
 
     # host-side binning at ROW granularity: row bbox = union of its 8 faces
-    # (invalid faces were zeroed -> excluded via +/-inf substitution)
+    # (invalid faces excluded via +/-inf substitution)
     inf = jnp.float32(jnp.inf)
     fu = tri[:, :, 0::3]
     fv = tri[:, :, 1::3]
-    fumin = jnp.where(zok[..., None], fu, inf).min(-1)
-    fumax = jnp.where(zok[..., None], fu, -inf).max(-1)
-    fvmin = jnp.where(zok[..., None], fv, inf).min(-1)
-    fvmax = jnp.where(zok[..., None], fv, -inf).max(-1)
+    fumin = jnp.where(valid[..., None], fu, inf).min(-1)
+    fumax = jnp.where(valid[..., None], fu, -inf).max(-1)
+    fvmin = jnp.where(valid[..., None], fv, inf).min(-1)
+    fvmax = jnp.where(valid[..., None], fv, -inf).max(-1)
 
     def rmin(x):
         return jnp.pad(x, ((0, 0), (0, F8 - F)), constant_values=jnp.inf).reshape(

@@ -51,6 +51,40 @@ def test_msaa_alpha_equals_ssaa_pooled_alpha():
     )
 
 
+def test_msaa_coverage_matches_ssaa_on_hand_mesh():
+    """Full-mesh coverage parity (guards quantisation bugs the one-triangle
+    scene can't see, e.g. bf16 default-precision selection matmuls)."""
+    import jax
+
+    from hifihr_tpu.hand.mano import ManoLayer
+    from hifihr_tpu.render import raster_jax
+    from hifihr_tpu.render.raster_msaa import rasterize_msaa_pallas
+
+    size = 112
+    mano = ManoLayer(ncomps=45)
+    rng = np.random.RandomState(0)
+    pose = jnp.asarray(rng.randn(1, 48) * 0.1, jnp.float32)
+    beta = jnp.asarray(rng.randn(1, 10) * 0.1, jnp.float32)
+    verts = mano(pose, beta).verts + jnp.asarray([0.0, 0.0, 0.5])
+    f = size * 1.8
+    K = jnp.asarray([[[f, 0, size / 2], [0, f, size / 2], [0, 0, 1]]], jnp.float32)
+    vs = raster_jax.project_to_screen(verts, K)
+    fid, cov, _ = rasterize_msaa_pallas(vs, mano.faces, size, samples=3,
+                                        interpret=True)
+
+    big = size * 3
+    K_big = K * jnp.asarray([[3.0, 1, 3], [1, 3.0, 3], [1, 1, 1]])
+    vs_big = raster_jax.project_to_screen(verts, K_big)
+    fid_big, _ = raster_jax.rasterize_face_id(vs_big, mano.faces, big, chunk=256)
+    fb = np.asarray(fid_big).reshape(1, size, 3, size, 3)
+    cov_ref = (fb >= 0).mean(axis=(2, 4))
+
+    assert cov_ref.max() == 1.0  # scene actually covers pixels
+    np.testing.assert_allclose(np.asarray(cov), cov_ref, atol=1e-6)
+    covered = cov_ref > 0
+    np.testing.assert_array_equal(np.asarray(fid)[covered] >= 0, True)
+
+
 def test_msaa_gradients_finite():
     import jax
 
