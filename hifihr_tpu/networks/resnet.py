@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -90,6 +91,61 @@ _CONFIGS = {
 }
 
 
+class StemConvS2D(nn.Module):
+    """The 7x7/s2 stem conv in space-to-depth form — exact same math.
+
+    A direct 7x7 conv over C_in=3 uses ~2% of the MXU's 128 contraction lanes
+    and costs ~34 ms fwd+bwd at batch 64 on v5e (more than the REST of
+    ResNet50 combined).  Patchifying the input 2x2 -> (112, 112, 4*C_in) and
+    convolving 4x4/s1 with the correspondingly rearranged kernel computes the
+    identical output with 4x the lane utilisation (~4x faster).  Kernel
+    params are stored in the transformed (4, 4, 4*C_in, 64) layout; the
+    weight converter performs the same rearrangement on torchvision weights
+    (tools/convert_torch_weights.py).
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def transform_kernel(w: "jnp.ndarray") -> "jnp.ndarray":
+        """(7, 7, C, O) standard kernel -> (4, 4, 4C, O) s2d kernel.
+
+        y[i,j] = sum_{k} x[2i+k-3] w[k]; substituting 2i+k-3 = 2(i+m-2)+d
+        with d in {0,1} gives w2[m, n, (d_i, d_j, c), o] = w[2m+d_i-1,
+        2n+d_j-1, c, o] (zero where the source index leaves [0, 7))."""
+        import numpy as np
+
+        w = np.asarray(w)
+        kh, kw, c, o = w.shape
+        assert (kh, kw) == (7, 7)
+        w2 = np.zeros((4, 4, 2, 2, c, o), w.dtype)
+        for m in range(4):
+            for n in range(4):
+                for di in range(2):
+                    for dj in range(2):
+                        k1 = 2 * m + di - 1
+                        k2 = 2 * n + dj - 1
+                        if 0 <= k1 < 7 and 0 <= k2 < 7:
+                            w2[m, n, di, dj] = w[k1, k2]
+        return jnp.asarray(w2.reshape(4, 4, 4 * c, o))
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        xs = xs.reshape(b, h // 2, w // 2, 4 * c)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (4, 4, 4 * c, self.features),
+        )
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet(nn.Module):
     """Backbone producing (low 28x28 stage-2 features, 14x14 stage-4 features)."""
 
@@ -103,8 +159,7 @@ class ResNet(nn.Module):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name
         )
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConvS2D(64, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(norm("bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

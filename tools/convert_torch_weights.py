@@ -68,7 +68,13 @@ def convert_resnet(src: str, dst: str):
         out[f"batch_stats/{flax_name}/mean"] = sd[f"{torch_prefix}.running_mean"].numpy()
         out[f"batch_stats/{flax_name}/var"] = sd[f"{torch_prefix}.running_var"].numpy()
 
-    put("conv1", "conv1")
+    # stem kernel is stored in space-to-depth layout (networks/resnet.py
+    # StemConvS2D): rearrange the torchvision 7x7 kernel accordingly
+    from hifihr_tpu.networks.resnet import StemConvS2D
+
+    out["params/conv1/kernel"] = np.asarray(
+        StemConvS2D.transform_kernel(_conv(sd["conv1.weight"]))
+    )
     put_bn("bn1", "bn1")
     depths = {
         "layer1": 0, "layer2": 0, "layer3": 0, "layer4": 0,
