@@ -19,14 +19,18 @@ Design notes (v5e-measured):
     accumulation give ~2^-16 relative accuracy (vs 2^-8 for one pass, six
     passes for a generic HIGHEST fp32 dot).  For screen coords at 224 px
     that is ~3e-3 px — two orders below the rasteriser's subsample spacing.
-  * dots run in the (D, F) @ (F, P_blk) layout: D (~36) rides the streamed
-    sublane dim where padding to 8 costs ~10%, instead of the lane dim where
-    padding to 128 would waste 3.5x.
+  * the hi and lo halves are stacked on the streamed sublane dim and share
+    ONE dot: (2*D_pad, F) @ (F, P_blk).  D (~36) rides the sublane dim where
+    padding costs ~10%, instead of the lane dim where padding to 128 would
+    waste 3.5x; D_pad keeps the halves vreg-aligned (an unaligned sublane
+    split forces a full relayout).
   * idx = -1 (background / padding) matches no row -> exact zeros, no fake
     gradient to row 0.
-  * the backward kernel accumulates dtable across pixel blocks with the
-    standard k-loop revisit pattern (output block index constant along the
-    reduction grid dim).
+  * F is BLOCKED at 2048 rows per grid step, so tables of any size work —
+    the NIMBLE skin mesh (~10k faces) as well as MANO (~1.5k).  Forward
+    accumulates out over the F grid dim; backward accumulates dtable over
+    the P grid dim (the standard k-loop revisit pattern: the output block
+    index is constant along the reduction dim).
 """
 
 from __future__ import annotations
@@ -38,24 +42,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PBLK = 2048  # pixels per program; onehot block (F_pad, 2048) bf16 fits VMEM
+_PBLK = 2048  # pixels per program; onehot block (F_blk, 2048) bf16 fits VMEM
+_FBLK = 2048  # table rows per program
 
 
-def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, f_pad: int, pblk: int, d: int):
+def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, fblk: int, pblk: int, d: int):
+    fj = pl.program_id(2)
     idx = idx_ref[0, 0]  # (1, PBLK) int32
-    j = jax.lax.broadcasted_iota(jnp.int32, (f_pad, pblk), 0)
-    onehot = (j == idx).astype(jnp.bfloat16)  # (F_pad, PBLK); -1 matches none
-    # hi stacked over lo: ONE (2D, F_pad) dot doubles the streamed-sublane MXU
-    # utilisation vs two (D, F_pad) dots (D ~ 36 of 128)
+    j = jax.lax.broadcasted_iota(jnp.int32, (fblk, pblk), 0) + fj * fblk
+    onehot = (j == idx).astype(jnp.bfloat16)  # (F_blk, PBLK); -1 matches none
     acc = jnp.dot(hilo_ref[0], onehot, preferred_element_type=jnp.float32)
-    out_ref[0] = acc[:d] + acc[d:]  # (D, PBLK) f32
+    acc = acc[:d] + acc[d:]  # hi + lo halves -> (D_pad, PBLK) f32
+
+    @pl.when(fj == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] = out_ref[0] + acc  # accumulated over F blocks
 
 
-def _bwd_kernel(idxc_ref, ghilo_ref, dtab_ref, *, f_pad: int, pblk: int, d: int):
-    pj = pl.program_id(1)
+def _bwd_kernel(idxc_ref, ghilo_ref, dtab_ref, *, fblk: int, pblk: int, d: int):
+    pj = pl.program_id(2)
+    fj = pl.program_id(1)
     idxc = idxc_ref[0, 0]  # (PBLK, 1) int32 column
-    j = jax.lax.broadcasted_iota(jnp.int32, (pblk, f_pad), 1)
-    onehot = (j == idxc).astype(jnp.bfloat16)  # (PBLK, F_pad), built transposed
+    j = jax.lax.broadcasted_iota(jnp.int32, (pblk, fblk), 1) + fj * fblk
+    onehot = (j == idxc).astype(jnp.bfloat16)  # (PBLK, F_blk), built transposed
     acc = jnp.dot(ghilo_ref[0], onehot, preferred_element_type=jnp.float32)
     acc = acc[:d] + acc[d:]
 
@@ -63,13 +74,13 @@ def _bwd_kernel(idxc_ref, ghilo_ref, dtab_ref, *, f_pad: int, pblk: int, d: int)
     def _init():
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
-    dtab_ref[0] = dtab_ref[0] + acc  # (D, F_pad) accumulated over pixel blocks
+    dtab_ref[0] = dtab_ref[0] + acc  # (D_pad, F_blk) accumulated over P blocks
 
 
-def _split(x):
+def _split_stack(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    return jnp.concatenate([hi, lo], axis=1)
 
 
 def _pad_axis(x, m, axis, value):
@@ -91,29 +102,27 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False):
 def _gather_impl(table, idx, interpret):
     B, F, D = table.shape
     P = idx.shape[1]
-    f_pad = -(-F // 128) * 128
-    p_pad = -(-P // _PBLK) * _PBLK
-    # D padded to a sublane multiple so the in-kernel hi/lo halves split on
-    # vreg boundaries (an unaligned sublane slice forces a full relayout)
     d_pad = -(-D // 8) * 8
-    tab_t = _pad_axis(jnp.swapaxes(table, 1, 2), 128, 2, 0.0)  # (B, D, F_pad)
+    fblk = min(_FBLK, -(-F // 128) * 128)
+    f_pad = -(-F // fblk) * fblk
+    p_pad = -(-P // _PBLK) * _PBLK
+    tab_t = _pad_axis(jnp.swapaxes(table, 1, 2), fblk, 2, 0.0)  # (B, D, F_pad)
     tab_t = _pad_axis(tab_t, 8, 1, 0.0)  # (B, D_pad, F_pad)
-    hi, lo = _split(tab_t)
-    hilo = jnp.concatenate([hi, lo], axis=1)  # (B, 2*D_pad, F_pad)
+    hilo = _split_stack(tab_t)  # (B, 2*D_pad, F_pad)
     idxp = _pad_axis(idx.astype(jnp.int32), _PBLK, 1, -1)
     idxp = idxp.reshape(B, p_pad // _PBLK, 1, _PBLK)
 
-    grid = (B, p_pad // _PBLK)
+    grid = (B, p_pad // _PBLK, f_pad // fblk)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, f_pad=f_pad, pblk=_PBLK, d=d_pad),
+        functools.partial(_fwd_kernel, fblk=fblk, pblk=_PBLK, d=d_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, _PBLK), lambda b, p: (b, p, 0, 0),
+            pl.BlockSpec((1, 1, 1, _PBLK), lambda b, p, f: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * d_pad, f_pad), lambda b, p: (b, 0, 0),
+            pl.BlockSpec((1, 2 * d_pad, fblk), lambda b, p, f: (b, 0, f),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d_pad, _PBLK), lambda b, p: (b, 0, p),
+        out_specs=pl.BlockSpec((1, d_pad, _PBLK), lambda b, p, f: (b, 0, p),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, d_pad, p_pad), jnp.float32),
         interpret=interpret,
@@ -128,27 +137,27 @@ def _gather_fwd(table, idx, interpret):
 def _gather_bwd(interpret, res, g):
     idx, (B, F, D) = res
     P = idx.shape[1]
-    f_pad = -(-F // 128) * 128
-    p_pad = -(-P // _PBLK) * _PBLK
     d_pad = -(-D // 8) * 8
+    fblk = min(_FBLK, -(-F // 128) * 128)
+    f_pad = -(-F // fblk) * fblk
+    p_pad = -(-P // _PBLK) * _PBLK
     g_t = _pad_axis(jnp.swapaxes(g, 1, 2), _PBLK, 2, 0.0)  # (B, D, P_pad)
     g_t = _pad_axis(g_t, 8, 1, 0.0)  # (B, D_pad, P_pad)
-    ghi, glo = _split(g_t)
-    ghilo = jnp.concatenate([ghi, glo], axis=1)  # (B, 2*D_pad, P_pad)
+    ghilo = _split_stack(g_t)  # (B, 2*D_pad, P_pad)
     idxc = _pad_axis(idx.astype(jnp.int32), _PBLK, 1, -1)
     idxc = idxc.reshape(B, p_pad // _PBLK, _PBLK, 1)
 
-    grid = (B, p_pad // _PBLK)
+    grid = (B, f_pad // fblk, p_pad // _PBLK)
     dtab_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, f_pad=f_pad, pblk=_PBLK, d=d_pad),
+        functools.partial(_bwd_kernel, fblk=fblk, pblk=_PBLK, d=d_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, _PBLK, 1), lambda b, p: (b, p, 0, 0),
+            pl.BlockSpec((1, 1, _PBLK, 1), lambda b, f, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * d_pad, _PBLK), lambda b, p: (b, 0, p),
+            pl.BlockSpec((1, 2 * d_pad, _PBLK), lambda b, f, p: (b, 0, p),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d_pad, f_pad), lambda b, p: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, d_pad, fblk), lambda b, f, p: (b, 0, f),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, d_pad, f_pad), jnp.float32),
         interpret=interpret,

@@ -40,6 +40,14 @@ def gather_face_rows(x: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     if 3 * F * V <= _ONEHOT_LIMIT:
         sel = _corner_onehot(faces, V, x.dtype)
         return jnp.einsum("fv,bvd->bfd", sel, x, precision=_EXACT).reshape(B, F, 3 * D)
+    if jax.default_backend() == "tpu" and x.dtype == jnp.float32:
+        # large meshes (NIMBLE ~10k faces): blocked one-hot matmul gather —
+        # the static (3F, V) matrix above would be too big an HLO constant,
+        # but the dynamic-index kernel builds its one-hot blocks in VMEM
+        from hifihr_tpu.render.gather_mxu import gather_rows
+
+        idx = jnp.broadcast_to(faces.reshape(-1)[None], (B, 3 * F)).astype(jnp.int32)
+        return gather_rows(x, idx).reshape(B, F, 3 * D)
     return x[:, faces].reshape(B, F, 3 * D)
 
 

@@ -34,17 +34,22 @@ def sample_texture(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     fy = (y - y0)[..., None]
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, Wt - 1)
-    y1 = jnp.minimum(y0 + 1, Ht - 1)
 
-    flat = tex.reshape(B, Ht * Wt, C)
+    # pre-pack the 2x2 texel quad per texel (edge-clamped shifts) so each
+    # pixel needs ONE row gather of 4C floats instead of four C-float
+    # gathers — TPU gathers pay per-descriptor, not per-byte.  The backward
+    # scatters into the quad and the shift transposes accumulate into the
+    # texture automatically.
+    sx = jnp.concatenate([tex[:, :, 1:], tex[:, :, -1:]], axis=2)  # t(y, x+1)
+    sy = jnp.concatenate([tex[:, 1:], tex[:, -1:]], axis=1)        # t(y+1, x)
+    sxy = jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)         # t(y+1, x+1)
+    quad = jnp.concatenate([tex, sx, sy, sxy], axis=-1)  # (B, Ht, Wt, 4C)
+    flat = quad.reshape(B, Ht * Wt, 4 * C)
     b_idx = jnp.arange(B).reshape((B,) + (1,) * (uv.ndim - 2))
+    q = flat[b_idx, y0 * Wt + x0]  # (B, ..., 4C)
 
-    def fetch(yy, xx):
-        return flat[b_idx, yy * Wt + xx]  # (B, ..., C)
-
-    t00, t01 = fetch(y0, x0), fetch(y0, x1)
-    t10, t11 = fetch(y1, x0), fetch(y1, x1)
+    t00, t01 = q[..., 0:C], q[..., C:2 * C]
+    t10, t11 = q[..., 2 * C:3 * C], q[..., 3 * C:]
     top = t00 * (1 - fx) + t01 * fx
     bot = t10 * (1 - fx) + t11 * fx
     return top * (1 - fy) + bot * fy

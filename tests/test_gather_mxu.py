@@ -46,6 +46,24 @@ def test_gather_rows_vjp_matches_indexed():
                                atol=3e-3)
 
 
+def test_gather_rows_large_table_f_blocked():
+    """F > the 2048-row block: exercises the F-blocked accumulation path
+    (the NIMBLE skin mesh has ~10k faces)."""
+    rng = np.random.RandomState(2)
+    B, F, D, P = 1, 5000, 7, 400
+    table = jnp.asarray(rng.randn(B, F, D).astype(np.float32))
+    idx = jnp.asarray(rng.randint(-1, F, size=(B, P)).astype(np.int32))
+    out = gather_rows(table, idx, True)
+    ref = _reference(table, idx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-5,
+                               atol=3e-3)
+    ct = jnp.asarray(rng.randn(B, P, D).astype(np.float32))
+    g = jax.grad(lambda t: jnp.vdot(gather_rows(t, idx, True), ct))(table)
+    g_ref = jax.grad(lambda t: jnp.vdot(_reference(t, idx), ct))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=3e-5,
+                               atol=3e-3)
+
+
 def test_gather_rows_background_no_gradient_leak():
     table = jnp.ones((1, 4, 3), jnp.float32)
     idx = jnp.full((1, 64), -1, jnp.int32)
