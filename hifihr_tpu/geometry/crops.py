@@ -121,3 +121,60 @@ def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
     )
     shape = (h_out, w_out) + (() if img.ndim == 2 else (img.shape[2],))
     return out.reshape(shape).astype(np.float32)
+
+
+def color_jitter(
+    img: np.ndarray,
+    brightness: float = 0.0,
+    contrast: float = 0.0,
+    saturation: float = 0.0,
+    hue: float = 0.0,
+    rng: np.random.RandomState | None = None,
+) -> np.ndarray:
+    """Random photometric jitter on a float [0, 1] HWC image.
+
+    Port of the reference's utils/imgtrans.py color_jitter (factors drawn
+    uniformly from [max(0, 1-x), 1+x], hue from [-hue, hue]; the reference's
+    active dataset paths never call it, but the utility ships for parity).
+    Brightness/contrast/saturation match torchvision.functional semantics;
+    hue rotates in HSV space.
+    """
+    rng = rng or np.random
+    out = img.astype(np.float32)
+    if brightness > 0:
+        out = out * rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    if saturation > 0:
+        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        grey = out @ np.asarray([0.299, 0.587, 0.114], np.float32)
+        out = grey[..., None] + f * (out - grey[..., None])
+    if hue > 0:
+        h = rng.uniform(-hue, hue)  # fraction of a full revolution
+        maxc = out.max(-1)
+        minc = out.min(-1)
+        v = maxc
+        delta = maxc - minc
+        s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+        dz = np.maximum(delta, 1e-12)
+        r, g, b = out[..., 0], out[..., 1], out[..., 2]
+        hh = np.where(
+            maxc == r, (g - b) / dz % 6.0,
+            np.where(maxc == g, (b - r) / dz + 2.0, (r - g) / dz + 4.0),
+        ) / 6.0
+        hh = (hh + h) % 1.0
+        i = np.floor(hh * 6.0)
+        f = hh * 6.0 - i
+        p = v * (1 - s)
+        q = v * (1 - s * f)
+        t = v * (1 - s * (1 - f))
+        i = (i.astype(np.int32) % 6)[..., None]
+        out = np.select(
+            [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+            [np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+             np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+             np.stack([t, p, v], -1), np.stack([v, p, q], -1)],
+        )
+    if contrast > 0:
+        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        mean = out.mean()
+        out = mean + f * (out - mean)
+    return np.clip(out, 0.0, 1.0)

@@ -86,3 +86,25 @@ def test_transform_img_identity():
     img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
     out = crops.transform_img(img, np.eye(3), [16, 16])
     np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_color_jitter():
+    """Port of utils/imgtrans.py color_jitter: range-preserving, identity at
+    zero factors, exact hue rotation."""
+    import numpy as np
+
+    from hifihr_tpu.geometry.crops import color_jitter
+
+    img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    out = color_jitter(img, 0.3, 0.3, 0.3, 0.1, rng=np.random.RandomState(1))
+    assert out.shape == img.shape and out.min() >= 0 and out.max() <= 1
+    np.testing.assert_allclose(color_jitter(img), img)
+
+    class MaxRng:
+        def uniform(self, lo, hi):
+            return hi
+
+    red = np.zeros((1, 1, 3), np.float32)
+    red[0, 0, 0] = 1.0
+    green = color_jitter(red, hue=1 / 3, rng=MaxRng())
+    np.testing.assert_allclose(green[0, 0], [0, 1, 0], atol=1e-5)

@@ -107,9 +107,18 @@ def main():
 
     model = HiFiHR(config=config)
     train_loader, val_loader = build_loaders(config)
+    eval_gt = load_eval_gt(config)
+    if eval_gt is None and val_loader is not None:
+        from hifihr_tpu.data.synthetic import SyntheticHandDataset
+
+        ds = getattr(val_loader, "dataset", None)
+        if isinstance(ds, SyntheticHandDataset):
+            # synthetic stand-in carries exact GT -> PA-MPJPE works in smoke
+            # runs too (Procrustes alignment absorbs the root convention)
+            eval_gt = {"xyz": ds.joints, "verts": ds.verts}
     trainer = Trainer(
         config, model, train_loader, val_loader,
-        eval_gt=load_eval_gt(config), out_dir=config.base_out_path,
+        eval_gt=eval_gt, out_dir=config.base_out_path,
     )
 
     mode = args.mode or (config.mode[0] if config.mode else "training")
