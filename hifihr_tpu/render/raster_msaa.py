@@ -32,15 +32,18 @@ is incremental (one vector add per edge per subsample) and the inside test is
 min3 >= 0.  Invalid/culled faces are encoded as all-zero coefficients with
 e0c = -1: never inside, zero cost.
 
-Binning: the host computes only per-tile COMPACTED INDEX LISTS into the
-per-image packed table (row bbox = union of its 8 faces' bboxes) — no
-face-data gather at all.  The table block's index map is constant across a
-tile sweep, so Mosaic ships it to VMEM once per image and elides the
-repeated DMAs; the index lists ride in SMEM, where dynamic scalar reads are
-free.  The kernel walks its list with an early-exit while_loop (valid
-indices first, -1 padded), reads face rows at *dynamic sublane* indices
-(allowed; dynamic lane indexing is not) and processes the row's 8 faces at
-static lane offsets.
+Binning: the host computes per-tile COMPACTED INDEX LISTS over packed rows
+(row bbox = union of its 8 faces' bboxes) via cumsum + scatter — NOT via
+`jnp.where(size=...)`, whose sort-based lowering cost 33 ms at batch 64
+(2/3 of the whole rasterise step), and NOT as a raw mask walked with a
+per-row `pl.when` guard, whose ~200-cycle branch overhead per skipped row
+cost just as much back inside the kernel.  The lists ride in SMEM where
+dynamic scalar reads are free; the kernel walks its valid prefix with an
+early-exit while_loop (-1 padded).  Face rows are read at *dynamic sublane*
+indices (allowed; dynamic lane indexing is not) and the row's 8 faces
+process at static lane offsets.  The table block's index map is constant
+across a tile sweep, so Mosaic ships it to VMEM once per image and elides
+the repeated DMAs.
 """
 
 from __future__ import annotations
@@ -90,7 +93,10 @@ def _kernel(idx_ref, tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int,
         return jnp.logical_and(k < n_rowbin, idx_ref[0, 0, 0, k] >= 0)
 
     def body(k):
-        r = idx_ref[0, 0, 0, k]  # SMEM scalar: which packed face-row to process
+        _process_row(idx_ref[0, 0, 0, k])
+        return k + 1
+
+    def _process_row(r):
         cov_bits = cov_ref[0, 0]
         zb = zbuf_ref[0, 0]
         fid = fid_ref[0, 0]
@@ -135,7 +141,6 @@ def _kernel(idx_ref, tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int,
         zbuf_ref[0, 0] = zb
         fid_ref[0, 0] = fid
         cov_ref[0, 0] = cov_bits
-        return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
@@ -261,13 +266,25 @@ def rasterize_msaa_pallas(
 
     n_rowbin = -(-(n_rows + 1) // 8) * 8  # +1 guarantees a -1 sentinel slot
 
-    # per-tile compacted index lists ONLY — no face-data gather at all.  The
-    # packed per-image table ships to the kernel once (its block index is
-    # constant across a tile row/column sweep, so Mosaic elides the repeated
-    # DMA); indices ride in SMEM where dynamic scalar reads are free.
-    idx = jax.vmap(
-        lambda m: jnp.where(m, size=n_rowbin, fill_value=-1)[0].astype(jnp.int32)
-    )(overlap.reshape(B * nty * ntx, n_rows)).reshape(B, nty * ntx, 1, n_rowbin)
+    # per-tile compacted index lists — computed by cumsum + scatter, NOT
+    # `jnp.where(size=...)`: the where form lowers to a per-tile sort that
+    # alone cost 33 ms at batch 64 (2/3 of the whole rasterise step).  The
+    # scatter writes each overlapping row id at its prefix-sum position;
+    # non-overlapping rows target an out-of-bounds slot and are dropped.
+    # Lists stay ascending with a -1-padded tail (the kernel's early-exit
+    # contract).  They ride in SMEM where dynamic scalar reads are free; the
+    # packed table ships to VMEM once per image (block index constant across
+    # the tile sweep, so Mosaic elides the repeated DMAs).
+    flat_ov = overlap.reshape(B * nty * ntx, n_rows)
+    pos = jnp.cumsum(flat_ov.astype(jnp.int32), axis=-1) - 1
+    pos = jnp.where(flat_ov, pos, n_rowbin)  # invalid -> OOB, dropped
+    r_ids = jnp.broadcast_to(
+        jnp.arange(n_rows, dtype=jnp.int32)[None], flat_ov.shape
+    )
+    init = jnp.full((B * nty * ntx, n_rowbin), -1, jnp.int32)
+    idx = init.at[
+        jnp.arange(B * nty * ntx)[:, None], pos
+    ].set(r_ids, mode="drop").reshape(B, nty * ntx, 1, n_rowbin)
 
     # outputs in TILE-MAJOR layout: each program writes one contiguous
     # (tile_h * tile) block — a (tile_h, tile) window of a W_pad-wide image
