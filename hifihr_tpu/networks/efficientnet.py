@@ -95,8 +95,12 @@ class EfficientNet(nn.Module):
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
                                          momentum=0.99, epsilon=1e-3, name=name)
         c_stem = _round_filters(32, width)
-        x = nn.Conv(c_stem, (3, 3), (2, 2), padding="SAME", use_bias=False,
-                    name="conv_stem")(x)
+        # 3x3/s2 "same"-padded stem in space-to-depth form (C_in=3 starves
+        # the MXU lanes otherwise; see resnet.StemConvS2D).  SAME padding for
+        # stride 2 at even sizes = (0, 1) -> pad_lo 0.
+        from hifihr_tpu.networks.resnet import StemConvS2D
+
+        x = StemConvS2D(c_stem, kernel_size=3, pad_lo=0, name="conv_stem")(x)
         x = nn.swish(norm("bn_stem")(x))
 
         low = None

@@ -68,7 +68,11 @@ class NetHMHG(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda n: nn.BatchNorm(use_running_average=not train, name=n)
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, name="stem_conv")(x)
+        from hifihr_tpu.networks.resnet import StemConvS2D
+
+        # 7x7/s2 C_in=3 stem in space-to-depth form (see StemConvS2D)
+        x = StemConvS2D(64, kernel_size=7, pad_lo=3, use_bias=True,
+                        name="stem_conv")(x)
         x = nn.relu(norm("stem_bn")(x))
         x = HGResidual(128, name="stem_res1")(x, train)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -88,8 +88,11 @@ class HRNet(nn.Module):
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
                                          momentum=0.9, name=name)
-        # stem: /4
-        x = nn.Conv(64, (3, 3), (2, 2), padding=1, use_bias=False, name="conv1")(x)
+        # stem: /4 — first conv (C_in=3) in space-to-depth form
+        # (see resnet.StemConvS2D); conv2 runs on 64 channels, left direct
+        from hifihr_tpu.networks.resnet import StemConvS2D
+
+        x = StemConvS2D(64, kernel_size=3, pad_lo=1, name="conv1")(x)
         x = nn.relu(norm("bn1")(x))
         x = nn.Conv(64, (3, 3), (2, 2), padding=1, use_bias=False, name="conv2")(x)
         x = nn.relu(norm("bn2")(x))

@@ -91,59 +91,82 @@ _CONFIGS = {
 }
 
 
-class StemConvS2D(nn.Module):
-    """The 7x7/s2 stem conv in space-to-depth form — exact same math.
+def _s2d_geometry(kernel_size: int, pad_lo: int):
+    """For a k x k / stride-2 conv with zero padding pad_lo on the low side:
+    source offsets off = k_i - pad_lo decompose as off = 2*(m + mlo) + d with
+    d in {0, 1}; returns (n_taps M, mlo, s2d conv padding (lo, hi))."""
+    mlo = (-pad_lo) // 2
+    mhi = (kernel_size - pad_lo - 1) // 2
+    return mhi - mlo + 1, mlo, (-mlo, mhi)
 
-    A direct 7x7 conv over C_in=3 uses ~2% of the MXU's 128 contraction lanes
-    and costs ~34 ms fwd+bwd at batch 64 on v5e (more than the REST of
-    ResNet50 combined).  Patchifying the input 2x2 -> (112, 112, 4*C_in) and
-    convolving 4x4/s1 with the correspondingly rearranged kernel computes the
-    identical output with 4x the lane utilisation (~4x faster).  Kernel
-    params are stored in the transformed (4, 4, 4*C_in, 64) layout; the
-    weight converter performs the same rearrangement on torchvision weights
+
+class StemConvS2D(nn.Module):
+    """A stride-2 stem conv in space-to-depth form — exact same math.
+
+    A direct kxk/s2 conv over C_in=3 uses ~2% of the MXU's 128 contraction
+    lanes (the ResNet 7x7 stem alone cost ~34 ms fwd+bwd at batch 64 on v5e —
+    more than the REST of ResNet50 combined).  Patchifying the input 2x2 ->
+    (H/2, W/2, 4*C_in) and convolving stride-1 with the correspondingly
+    rearranged kernel computes the identical output with 4x the lane
+    utilisation.  Kernel params are stored in the transformed layout; the
+    weight converters perform the same rearrangement on torch weights
     (tools/convert_torch_weights.py).
+
+    Geometry: 7x7 pad 3 -> 4x4 s2d taps, padding (2, 1) (ResNet);
+    3x3 pad (1, x) -> 2x2, padding (1, 0) (HRNet); 3x3 "same" pad (0, 1) ->
+    2x2, padding (0, 1) (EfficientNet).
     """
 
     features: int = 64
+    kernel_size: int = 7
+    pad_lo: int = 3  # zero padding of the ORIGINAL conv on the low side
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @staticmethod
-    def transform_kernel(w: "jnp.ndarray") -> "jnp.ndarray":
-        """(7, 7, C, O) standard kernel -> (4, 4, 4C, O) s2d kernel.
+    def transform_kernel(w: "jnp.ndarray", pad_lo: int = 3) -> "jnp.ndarray":
+        """(k, k, C, O) standard stride-2 kernel -> (M, M, 4C, O) s2d kernel.
 
-        y[i,j] = sum_{k} x[2i+k-3] w[k]; substituting 2i+k-3 = 2(i+m-2)+d
-        with d in {0,1} gives w2[m, n, (d_i, d_j, c), o] = w[2m+d_i-1,
-        2n+d_j-1, c, o] (zero where the source index leaves [0, 7))."""
+        y[i] = sum_k x[2i + k - pad_lo] w[k]; substituting
+        2i + k - pad_lo = 2(i + m + mlo) + d with d in {0, 1} gives
+        w2[m, n, (d_i, d_j, c), o] = w[2(m + mlo) + d_i + pad_lo, ..., c, o]
+        (zero where the source index leaves [0, k))."""
         import numpy as np
 
         w = np.asarray(w)
-        kh, kw, c, o = w.shape
-        assert (kh, kw) == (7, 7)
-        w2 = np.zeros((4, 4, 2, 2, c, o), w.dtype)
-        for m in range(4):
-            for n in range(4):
+        k, kw_, c, o = w.shape
+        assert k == kw_
+        M, mlo, _ = _s2d_geometry(k, pad_lo)
+        w2 = np.zeros((M, M, 2, 2, c, o), w.dtype)
+        for m in range(M):
+            for n in range(M):
                 for di in range(2):
                     for dj in range(2):
-                        k1 = 2 * m + di - 1
-                        k2 = 2 * n + dj - 1
-                        if 0 <= k1 < 7 and 0 <= k2 < 7:
+                        k1 = 2 * (m + mlo) + di + pad_lo
+                        k2 = 2 * (n + mlo) + dj + pad_lo
+                        if 0 <= k1 < k and 0 <= k2 < k:
                             w2[m, n, di, dj] = w[k1, k2]
-        return jnp.asarray(w2.reshape(4, 4, 4 * c, o))
+        return jnp.asarray(w2.reshape(M, M, 4 * c, o))
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        M, _, pad = _s2d_geometry(self.kernel_size, self.pad_lo)
         xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
         xs = xs.reshape(b, h // 2, w // 2, 4 * c)
         kernel = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-            (4, 4, 4 * c, self.features),
+            (M, M, 4 * c, self.features),
         )
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             xs.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
-            [(2, 1), (2, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            [pad, pad], dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ResNet(nn.Module):

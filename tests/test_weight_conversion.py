@@ -224,7 +224,11 @@ def test_hrnet_conversion_roundtrip(tmp_path):
         key = torch_key(path)
         assert key is not None, f"unmapped flax param {path}"
         leaf = path.split("/")[-1]
-        if leaf == "kernel":
+        if path == "conv1/kernel":
+            # stem stored s2d in flax; the torch source is the plain 3x3
+            w = rng.randn(64, 3, 3, 3).astype(np.float32)
+            sd["conv1.weight"] = torch.from_numpy(w)
+        elif leaf == "kernel":
             w = rng.randn(*np.transpose(arr, (3, 2, 0, 1)).shape).astype(np.float32)
             sd[f"{key}.weight"] = torch.from_numpy(w)
         elif leaf == "scale":
@@ -249,7 +253,13 @@ def test_hrnet_conversion_roundtrip(tmp_path):
     for path in flat_p:
         key = torch_key(path)
         leaf = path.split("/")[-1]
-        if leaf == "kernel":
+        if path == "conv1/kernel":
+            from hifihr_tpu.networks.resnet import StemConvS2D
+
+            expect = np.asarray(StemConvS2D.transform_kernel(
+                np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)), pad_lo=1
+            ))
+        elif leaf == "kernel":
             expect = np.transpose(sd[f"{key}.weight"].numpy(), (2, 3, 1, 0))
         elif leaf == "scale":
             expect = sd[f"{key}.weight"].numpy()

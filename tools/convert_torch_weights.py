@@ -108,7 +108,12 @@ def convert_efficientnet(src: str, dst: str):
         out[f"batch_stats/{flax_name}/mean"] = sd[f"{torch_prefix}.running_mean"].numpy()
         out[f"batch_stats/{flax_name}/var"] = sd[f"{torch_prefix}.running_var"].numpy()
 
-    out["params/conv_stem/kernel"] = _conv(sd["_conv_stem.weight"])
+    from hifihr_tpu.networks.resnet import StemConvS2D
+
+    # stem stored in space-to-depth layout (SAME 3x3/s2 -> pad_lo 0)
+    out["params/conv_stem/kernel"] = np.asarray(
+        StemConvS2D.transform_kernel(_conv(sd["_conv_stem.weight"]), pad_lo=0)
+    )
     put_bn("bn_stem", "_bn0")
     i = 0
     while f"_blocks.{i}._depthwise_conv.weight" in sd:
@@ -160,7 +165,12 @@ def convert_hrnet(src: str, dst: str):
             put(f"{flax_prefix}/downsample_conv", f"{torch_prefix}.downsample.0")
             put_bn(f"{flax_prefix}/downsample_bn", f"{torch_prefix}.downsample.1")
 
-    put("conv1", "conv1")
+    from hifihr_tpu.networks.resnet import StemConvS2D
+
+    # first stem conv stored in space-to-depth layout (3x3/s2 pad 1)
+    out["params/conv1/kernel"] = np.asarray(
+        StemConvS2D.transform_kernel(_conv(sd["conv1.weight"]), pad_lo=1)
+    )
     put_bn("bn1", "bn1")
     put("conv2", "conv2")
     put_bn("bn2", "bn2")
