@@ -78,16 +78,21 @@ def _measure(aa_mode: str, batch_size: int, steps: int):
 
     for _ in range(2):  # compile + warmup
         state, loss_dic = step(state, batch, sched)
-    jax.block_until_ready(loss_dic["total"])
+    float(loss_dic["total"])  # value fetch: the only honest sync here (the
+    # tunneled backend's block_until_ready can return before execution)
 
-    # synchronise every step: robust against async/dispatch artifacts on
-    # tunneled backends, at the cost of a pipeline bubble per step
+    # Chain CHUNK steps per sync: successive steps depend on each other
+    # through `state`, so all of them fully execute on-device in order; the
+    # single value fetch at the end amortises the host<->TPU tunnel round
+    # trip (~32 ms measured), which would otherwise dominate a ~160 ms step.
+    chunk = 5
     times = []
-    for _ in range(steps):
+    for _ in range(max(1, steps // chunk)):
         t0 = time.perf_counter()
-        state, loss_dic = step(state, batch, sched)
-        total = float(loss_dic["total"])  # forces execution
-        times.append(time.perf_counter() - t0)
+        for _ in range(chunk):
+            state, loss_dic = step(state, batch, sched)
+        total = float(loss_dic["total"])  # forces the whole chain
+        times.append((time.perf_counter() - t0) / chunk)
     assert np.isfinite(total)
     return batch_size / float(np.median(times))
 

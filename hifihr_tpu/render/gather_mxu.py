@@ -5,14 +5,18 @@ per-pixel dynamic row gather.  At the renderer's scale (B=64, P=224^2,
 F~1.5k, D~36) the XLA gather costs ~60 ms forward and its transpose
 scatter-add ~45 ms backward on v5e — descriptor-issue bound, the classic TPU
 anti-pattern.  Expressed as a one-hot matmul both directions are dense MXU
-work measured in single-digit milliseconds:
+work:
 
   forward:   out[p, :]   = onehot[f, p]^T contraction with table[f, :]
   backward:  dtable[f,:] = sum_p onehot[p, f] * g[p, :]    (the custom VJP)
 
 Design notes (v5e-measured):
-  * the one-hot block is built IN VMEM from the tile's indices vs an iota —
+  * the one-hot block is built IN VMEM from the block's indices vs an iota —
     it never exists in HBM (an XLA einsum would stream B*P*F of it).
+  * grid is (B, pixel-blocks) with 4096 pixels per program and the TABLE
+    blocked at 1024 rows by a static in-kernel loop: the (fblk, pblk) one-hot
+    scratch (8 MB bf16) dominates the ~16 MB VMEM budget, and fewer/larger
+    programs amortise per-program overhead.
   * near-fp32 from a bf16 MXU: the one-hot operand is exactly representable
     in bf16, so only the value operand needs a hi/lo split
     (v = hi + lo, hi = bf16(v), lo = bf16(v - hi)): TWO bf16 passes with f32
@@ -20,17 +24,14 @@ Design notes (v5e-measured):
     passes for a generic HIGHEST fp32 dot).  For screen coords at 224 px
     that is ~3e-3 px — two orders below the rasteriser's subsample spacing.
   * the hi and lo halves are stacked on the streamed sublane dim and share
-    ONE dot: (2*D_pad, F) @ (F, P_blk).  D (~36) rides the sublane dim where
-    padding costs ~10%, instead of the lane dim where padding to 128 would
-    waste 3.5x; D_pad keeps the halves vreg-aligned (an unaligned sublane
-    split forces a full relayout).
+    ONE dot per block: (2*D_pad, F_blk) @ (F_blk, P_blk).  D (~36) rides the
+    sublane dim where padding costs ~10%, instead of the lane dim where
+    padding to 128 would waste 3.5x; D_pad keeps the halves vreg-aligned.
   * idx = -1 (background / padding) matches no row -> exact zeros, no fake
     gradient to row 0.
-  * F is BLOCKED at 2048 rows per grid step, so tables of any size work —
-    the NIMBLE skin mesh (~10k faces) as well as MANO (~1.5k).  Forward
-    accumulates out over the F grid dim; backward accumulates dtable over
-    the P grid dim (the standard k-loop revisit pattern: the output block
-    index is constant along the reduction dim).
+  * any table size works (the f loop covers NIMBLE's ~10k faces); the
+    backward accumulates dtable across pixel blocks with the standard k-loop
+    revisit pattern (output block index constant along the reduction dim).
 """
 
 from __future__ import annotations
@@ -42,39 +43,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PBLK = 2048  # pixels per program; onehot block (F_blk, 2048) bf16 fits VMEM
-_FBLK = 2048  # table rows per program
+_PBLK = 4096  # pixels per program
+_FBLK = 1024  # table rows per in-kernel step; onehot scratch (1024, 4096) bf16
 
 
-def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, fblk: int, pblk: int, d: int):
-    fj = pl.program_id(2)
-    idx = idx_ref[0, 0]  # (1, PBLK) int32
-    j = jax.lax.broadcasted_iota(jnp.int32, (fblk, pblk), 0) + fj * fblk
-    onehot = (j == idx).astype(jnp.bfloat16)  # (F_blk, PBLK); -1 matches none
-    acc = jnp.dot(hilo_ref[0], onehot, preferred_element_type=jnp.float32)
-    acc = acc[:d] + acc[d:]  # hi + lo halves -> (D_pad, PBLK) f32
-
-    @pl.when(fj == 0)
-    def _init():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
-
-    out_ref[0] = out_ref[0] + acc  # accumulated over F blocks
+def _fwd_kernel(idx_ref, hilo_ref, out_ref, *, fblk: int, f_pad: int,
+                pblk: int, d: int):
+    idx = idx_ref[0, 0]  # (1, pblk) int32
+    acc = None
+    for fj in range(f_pad // fblk):
+        j = jax.lax.broadcasted_iota(jnp.int32, (fblk, pblk), 0) + fj * fblk
+        onehot = (j == idx).astype(jnp.bfloat16)  # -1 matches none
+        hilo = hilo_ref[0, :, fj * fblk:(fj + 1) * fblk]  # (2d, fblk)
+        a = jnp.dot(hilo, onehot, preferred_element_type=jnp.float32)
+        acc = a if acc is None else acc + a
+    out_ref[0] = acc[:d] + acc[d:]  # hi + lo halves -> (d, pblk) f32
 
 
-def _bwd_kernel(idxc_ref, ghilo_ref, dtab_ref, *, fblk: int, pblk: int, d: int):
-    pj = pl.program_id(2)
-    fj = pl.program_id(1)
-    idxc = idxc_ref[0, 0]  # (PBLK, 1) int32 column
-    j = jax.lax.broadcasted_iota(jnp.int32, (pblk, fblk), 1) + fj * fblk
-    onehot = (j == idxc).astype(jnp.bfloat16)  # (PBLK, F_blk), built transposed
-    acc = jnp.dot(ghilo_ref[0], onehot, preferred_element_type=jnp.float32)
-    acc = acc[:d] + acc[d:]
+def _bwd_kernel(idx_ref, ghilo_ref, dtab_ref, *, fblk: int, f_pad: int,
+                pblk: int, d: int):
+    pj = pl.program_id(1)
+    idx = idx_ref[0, 0]  # (1, pblk)
+    g = ghilo_ref[0]  # (2d, pblk)
 
     @pl.when(pj == 0)
     def _init():
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
-    dtab_ref[0] = dtab_ref[0] + acc  # (D_pad, F_blk) accumulated over P blocks
+    for fj in range(f_pad // fblk):
+        j = jax.lax.broadcasted_iota(jnp.int32, (fblk, pblk), 0) + fj * fblk
+        onehot = (j == idx).astype(jnp.bfloat16)  # (fblk, pblk)
+        # contract pblk of g with pblk (dim 1) of onehot: g @ onehot^T
+        a = jax.lax.dot_general(
+            g, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2d, fblk)
+        sl = slice(fj * fblk, (fj + 1) * fblk)
+        dtab_ref[0, :, sl] = dtab_ref[0, :, sl] + a[:d] + a[d:]
 
 
 def _split_stack(x):
@@ -99,30 +104,37 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False):
     return out
 
 
-def _gather_impl(table, idx, interpret):
-    B, F, D = table.shape
-    P = idx.shape[1]
+def _dims(F, P, D):
     d_pad = -(-D // 8) * 8
     fblk = min(_FBLK, -(-F // 128) * 128)
     f_pad = -(-F // fblk) * fblk
-    p_pad = -(-P // _PBLK) * _PBLK
+    pblk = min(_PBLK, -(-P // 128) * 128)
+    p_pad = -(-P // pblk) * pblk
+    return d_pad, fblk, f_pad, pblk, p_pad
+
+
+def _gather_impl(table, idx, interpret):
+    B, F, D = table.shape
+    P = idx.shape[1]
+    d_pad, fblk, f_pad, pblk, p_pad = _dims(F, P, D)
     tab_t = _pad_axis(jnp.swapaxes(table, 1, 2), fblk, 2, 0.0)  # (B, D, F_pad)
     tab_t = _pad_axis(tab_t, 8, 1, 0.0)  # (B, D_pad, F_pad)
     hilo = _split_stack(tab_t)  # (B, 2*D_pad, F_pad)
-    idxp = _pad_axis(idx.astype(jnp.int32), _PBLK, 1, -1)
-    idxp = idxp.reshape(B, p_pad // _PBLK, 1, _PBLK)
+    idxp = _pad_axis(idx.astype(jnp.int32), pblk, 1, -1)
+    idxp = idxp.reshape(B, p_pad // pblk, 1, pblk)
 
-    grid = (B, p_pad // _PBLK, f_pad // fblk)
+    grid = (B, p_pad // pblk)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, fblk=fblk, pblk=_PBLK, d=d_pad),
+        functools.partial(_fwd_kernel, fblk=fblk, f_pad=f_pad, pblk=pblk,
+                          d=d_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 1, _PBLK), lambda b, p, f: (b, p, 0, 0),
+            pl.BlockSpec((1, 1, 1, pblk), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * d_pad, fblk), lambda b, p, f: (b, 0, f),
+            pl.BlockSpec((1, 2 * d_pad, f_pad), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d_pad, _PBLK), lambda b, p, f: (b, 0, p),
+        out_specs=pl.BlockSpec((1, d_pad, pblk), lambda b, p: (b, 0, p),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, d_pad, p_pad), jnp.float32),
         interpret=interpret,
@@ -137,31 +149,29 @@ def _gather_fwd(table, idx, interpret):
 def _gather_bwd(interpret, res, g):
     idx, (B, F, D) = res
     P = idx.shape[1]
-    d_pad = -(-D // 8) * 8
-    fblk = min(_FBLK, -(-F // 128) * 128)
-    f_pad = -(-F // fblk) * fblk
-    p_pad = -(-P // _PBLK) * _PBLK
-    g_t = _pad_axis(jnp.swapaxes(g, 1, 2), _PBLK, 2, 0.0)  # (B, D, P_pad)
+    d_pad, fblk, f_pad, pblk, p_pad = _dims(F, P, D)
+    g_t = _pad_axis(jnp.swapaxes(g, 1, 2), pblk, 2, 0.0)  # (B, D, P_pad)
     g_t = _pad_axis(g_t, 8, 1, 0.0)  # (B, D_pad, P_pad)
     ghilo = _split_stack(g_t)  # (B, 2*D_pad, P_pad)
-    idxc = _pad_axis(idx.astype(jnp.int32), _PBLK, 1, -1)
-    idxc = idxc.reshape(B, p_pad // _PBLK, _PBLK, 1)
+    idxp = _pad_axis(idx.astype(jnp.int32), pblk, 1, -1)
+    idxp = idxp.reshape(B, p_pad // pblk, 1, pblk)
 
-    grid = (B, f_pad // fblk, p_pad // _PBLK)
+    grid = (B, p_pad // pblk)
     dtab_t = pl.pallas_call(
-        functools.partial(_bwd_kernel, fblk=fblk, pblk=_PBLK, d=d_pad),
+        functools.partial(_bwd_kernel, fblk=fblk, f_pad=f_pad, pblk=pblk,
+                          d=d_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, _PBLK, 1), lambda b, f, p: (b, p, 0, 0),
+            pl.BlockSpec((1, 1, 1, pblk), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * d_pad, _PBLK), lambda b, f, p: (b, 0, p),
+            pl.BlockSpec((1, 2 * d_pad, pblk), lambda b, p: (b, 0, p),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d_pad, fblk), lambda b, f, p: (b, 0, f),
+        out_specs=pl.BlockSpec((1, d_pad, f_pad), lambda b, p: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, d_pad, f_pad), jnp.float32),
         interpret=interpret,
-    )(idxc, ghilo)
+    )(idxp, ghilo)
     dtable = jnp.swapaxes(dtab_t, 1, 2)[:, :F, :D]  # (B, F, D)
     return dtable, None
 

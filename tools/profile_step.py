@@ -36,14 +36,16 @@ STEPS = 10
 
 
 def _median_ms(fn, *args, steps=STEPS):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """fn must reduce to a SCALAR; sync via float() — on the tunneled axon
+    backend `jax.block_until_ready` does not reliably block, so value
+    fetches are the only honest synchronisation."""
+    out = float(jnp.asarray(fn(*args)).sum())
     times = []
     for _ in range(steps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = float(jnp.asarray(fn(*args)).sum())
         times.append(time.perf_counter() - t0)
+    assert np.isfinite(out)
     return 1e3 * float(np.median(times))
 
 
