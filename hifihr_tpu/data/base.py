@@ -60,20 +60,49 @@ class Subset:
 
 
 class BatchLoader:
-    """Shuffling, drop-last batch iterator with a deterministic seed."""
+    """Shuffling, drop-last batch iterator with a deterministic seed.
+
+    `num_workers > 0` fetches samples through a thread pool with a
+    `prefetch_batches`-deep lookahead window — the TPU-native counterpart of
+    the reference's DataLoader worker processes (train_hrnet.py:375-391).
+    Threads (not processes) suffice because the hot per-sample work — file
+    read, native JPEG decode, native affine warp — all releases the GIL
+    (native/imgproc.cpp via ctypes), so sample assembly overlaps the main
+    thread's device transfer and step dispatch.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, num_workers: int = 0,
+                 prefetch_batches: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _fetch(self, i: int, substitute_idx: int) -> dict:
+        # corrupt-sample fault tolerance: substitute a deterministic random
+        # sample (reference data/dataset.py:1391-1399) but LOG it instead of
+        # silently masking data bugs
+        try:
+            return self.dataset.get_sample(int(i))
+        except Exception as exc:  # noqa: BLE001
+            import logging
+
+            logging.warning("sample %d failed (%s); substituting", i, exc)
+            return self.dataset.get_sample(int(substitute_idx))
+
+    def _batch_starts(self, n: int):
+        return range(0, n - self.batch_size + 1 if self.drop_last else n,
+                     self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)
@@ -82,23 +111,39 @@ class BatchLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
         rng = np.random.RandomState(self.seed + self.epoch + 12345)
-        for start in range(0, n - self.batch_size + 1 if self.drop_last else n,
-                           self.batch_size):
-            idxs = order[start : start + self.batch_size]
-            samples = []
-            for i in idxs:
-                # corrupt-sample fault tolerance: substitute a random sample
-                # (reference data/dataset.py:1391-1399) but LOG it instead of
-                # silently masking data bugs
-                try:
-                    samples.append(self.dataset.get_sample(int(i)))
-                except Exception as exc:  # noqa: BLE001
-                    import logging
+        subs = rng.randint(n, size=max(n, 1))  # per-position substitute idxs
+        name = getattr(self.dataset, "name", "unknown")
 
-                    logging.warning("sample %d failed (%s); substituting", i, exc)
-                    samples.append(self.dataset.get_sample(int(rng.randint(n))))
-            batch = collate(samples)
-            batch["dataset"] = getattr(self.dataset, "name", "unknown")
+        if self.num_workers <= 0:
+            for start in self._batch_starts(n):
+                idxs = order[start : start + self.batch_size]
+                batch = collate([self._fetch(i, subs[i]) for i in idxs])
+                batch["dataset"] = name
+                yield batch
+            return
+
+        import concurrent.futures
+
+        if self._pool is None:
+            self._pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+        window: list[list] = []
+        starts = list(self._batch_starts(n))
+        next_b = 0
+
+        def submit_batch():
+            nonlocal next_b
+            idxs = order[starts[next_b] : starts[next_b] + self.batch_size]
+            window.append([self._pool.submit(self._fetch, i, subs[i]) for i in idxs])
+            next_b += 1
+
+        while next_b < len(starts) and next_b <= self.prefetch_batches:
+            submit_batch()
+        while window:
+            futs = window.pop(0)
+            if next_b < len(starts):
+                submit_batch()
+            batch = collate([f.result() for f in futs])
+            batch["dataset"] = name
             yield batch
 
 

@@ -95,7 +95,7 @@ class DARTset:
         ortho = fit_ortho_param(joints, j2d)
 
         rgba_path = self.image_paths[idx]
-        rgba = _load_image(rgba_path)
+        rgba = _load_image(rgba_path, as_u8=True)
         # resize to 224 via simple stride (synthetic renders; matches cv2
         # bilinear within noise) — use crops for quality
         from hifihr_tpu.geometry import crops

@@ -33,23 +33,32 @@ def _json_load(path):
         return json.load(f)
 
 
-def _load_image(path) -> np.ndarray:
+def _load_image(path, as_u8: bool = False) -> np.ndarray:
+    """Decode an image file.  `as_u8=True` keeps the raw uint8 pixels so the
+    downstream affine warp can run through the native C++ path (uint8 in,
+    float32 [0,1] out) without a wasted float round trip; default returns
+    float32 [0,1] HWC as before."""
+    arr = None
     if str(path).lower().endswith((".jpg", ".jpeg")):
         from hifihr_tpu.data import native
 
         if native.available():
             with open(path, "rb") as f:
-                decoded = native.decode_jpeg(f.read())
-            if decoded is not None:
-                return decoded.astype(np.float32) / 255.0
-    try:
-        from PIL import Image
+                arr = native.decode_jpeg(f.read())
+    if arr is None:
+        try:
+            from PIL import Image
 
-        return np.asarray(Image.open(path), np.float32) / 255.0
-    except ImportError:
-        import imageio.v2 as imageio
+            arr = np.asarray(Image.open(path))
+        except ImportError:
+            import imageio.v2 as imageio
 
-        return np.asarray(imageio.imread(path), np.float32) / 255.0
+            arr = np.asarray(imageio.imread(path))
+        if arr.dtype != np.uint8:  # 16-bit PNGs etc.
+            arr = (arr.astype(np.float32) / max(1, np.iinfo(arr.dtype).max
+                   if np.issubdtype(arr.dtype, np.integer) else 1) * 255
+                   ).astype(np.uint8)
+    return arr if as_u8 else arr.astype(np.float32) / 255.0
 
 
 class FreiHand:
@@ -110,14 +119,21 @@ class FreiHand:
     def _gt_idx(self, idx: int) -> int:
         return idx % DB_SIZE_TRAIN if self.split != "evaluation" else idx
 
-    def get_img(self, idx: int) -> np.ndarray:
-        return _load_image(os.path.join(self.img_dir, "%08d.jpg" % idx))
+    def get_img(self, idx: int, as_u8: bool = False) -> np.ndarray:
+        return _load_image(
+            os.path.join(self.img_dir, "%08d.jpg" % idx), as_u8=as_u8
+        )
 
-    def get_mask(self, idx: int) -> np.ndarray:
-        m = _load_image(os.path.join(self.mask_dir, "%08d.jpg" % (idx % DB_SIZE_TRAIN)))
+    def get_mask(self, idx: int, as_u8: bool = False) -> np.ndarray:
+        m = _load_image(
+            os.path.join(self.mask_dir, "%08d.jpg" % (idx % DB_SIZE_TRAIN)),
+            as_u8=True,
+        )
         if m.ndim == 3:
             m = m[..., 0]
-        return np.round(m)
+        # binarize before any warp (same threshold as np.round(m/255))
+        m = m >= 128
+        return (m.astype(np.uint8) * 255) if as_u8 else m.astype(np.float32)
 
     # -- sample assembly -----------------------------------------------------
     def get_sample(self, i: int) -> dict:
@@ -126,11 +142,11 @@ class FreiHand:
         q = self.queries
         sample: dict = {"idxs": np.int64(idx)}
 
-        image = None
+        image = None  # uint8 until the warp: the native warp fuses u8->f32
         if "images" in q or "trans_images" in q:
-            image = self.get_img(idx)
+            image = self.get_img(idx, as_u8=True)
         if "images" in q:
-            sample["imgs"] = image
+            sample["imgs"] = image.astype(np.float32) / 255.0
         K = np.asarray(self.K_list[gt], np.float32)
         if "Ks" in q or "trans_Ks" in q:
             sample["Ks"] = K
@@ -157,11 +173,11 @@ class FreiHand:
             if "open_2dj" in q:
                 sample["open_2dj"] = open_j
                 sample["open_2dj_con"] = open_con
-        mask = None
+        mask = None  # uint8 {0, 255}, binarized at load
         if "masks" in q or "trans_masks" in q:
-            mask = self.get_mask(idx)
+            mask = self.get_mask(idx, as_u8=True)
             if "masks" in q:
-                sample["segms_gt"] = mask
+                sample["segms_gt"] = mask.astype(np.float32) / 255.0
 
         # texture confidence (traineval_util.py:60-66): zero when any keypoint
         # conf <= 0.1, else mean conf; color versions beyond the first get a

@@ -80,7 +80,7 @@ class HO3D:
         img_path = os.path.join(self.seq_dir, seq, "rgb", f"{fid}.png")
         if not os.path.exists(img_path):
             img_path = os.path.join(self.seq_dir, seq, "rgb", f"{fid}.jpg")
-        image = _load_image(img_path)  # (480, 640, 3)
+        image = _load_image(img_path, as_u8=True)  # (480, 640, 3) u8
         with open(os.path.join(self.seq_dir, seq, "meta", f"{fid}.pkl"), "rb") as f:
             meta = pickle.load(f)
 
@@ -131,8 +131,9 @@ class HO3D:
 
         mask_path = os.path.join(self.seq_dir, seq, "seg", f"{fid}.png")
         if os.path.exists(mask_path) and "trans_masks" in self.queries:
-            mask = _load_image(mask_path)
-            hand_mask = np.round(mask[..., 0]) if mask.ndim == 3 else np.round(mask)
+            mask = _load_image(mask_path, as_u8=True)
+            hand_mask = mask[..., 0] if mask.ndim == 3 else mask
+            hand_mask = (hand_mask >= 128).astype(np.uint8) * 255
             sample["segms_gt"] = np.round(
                 crops.resized_crop(hand_mask, y1, x1, css, css, [OUT_RES, OUT_RES])
             ).astype(np.float32)

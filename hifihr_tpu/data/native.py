@@ -75,6 +75,25 @@ def decode_jpeg(data: bytes, max_h: int = 1080, max_w: int = 1920) -> np.ndarray
     return out.ravel()[:n].reshape(h.value, w.value, 3).copy()
 
 
+def warp_affine_one(
+    src: np.ndarray, affine: np.ndarray, out_res: tuple[int, int]
+) -> np.ndarray | None:
+    """Single-image native warp: (H, W[, C]) uint8 -> (out_h, out_w[, C])
+    float32 in [0,1].  Used per-sample from the loader hot path (the numpy
+    bilinear warp in geometry/crops.py is ~10 ms per 224^2 sample; this is
+    ~0.3 ms), with the GIL released for the duration of the C call so loader
+    worker threads overlap with device transfer."""
+    squeeze = src.ndim == 2
+    if squeeze:
+        src = src[..., None]
+    out = warp_affine_batch(
+        src[None], np.asarray(affine, np.float32)[None], out_res, n_threads=1
+    )
+    if out is None:
+        return None
+    return out[0, ..., 0] if squeeze else out[0]
+
+
 def warp_affine_batch(
     srcs: np.ndarray,  # (B, H, W, C) uint8
     affines: np.ndarray,  # (B, 3, 3) float32, src -> dst pixel coords

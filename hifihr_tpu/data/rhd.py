@@ -56,8 +56,11 @@ class RHD:
     def _img(self, kind: str, idx: int) -> np.ndarray:
         from hifihr_tpu.data.freihand import _load_image
 
+        # uint8 until the crop warp: transform_img's native u8 path fuses the
+        # bilinear warp with the u8 -> f32 [0,1] conversion
         return _load_image(
-            os.path.join(self.base_path, self.split, kind, "%05d.png" % idx)
+            os.path.join(self.base_path, self.split, kind, "%05d.png" % idx),
+            as_u8=True,
         )
 
     def get_sample(self, idx: int) -> dict:
@@ -66,10 +69,9 @@ class RHD:
         xyz = np.asarray(anno["xyz"], np.float32)  # (42, 3)
         uv_vis = np.asarray(anno["uv_vis"], np.float32)  # (42, 3) [u, v, vis]
         image = self._img("color", idx)
-        mask = self._img("mask", idx)
-        if mask.ndim == 3:
-            mask = mask[..., 0]
-        mask_int = np.round(mask * 255)
+        mask_int = self._img("mask", idx)
+        if mask_int.ndim == 3:
+            mask_int = mask_int[..., 0]
         mask_r = mask_int > 17
         mask_l = (mask_int > 1) & (~mask_r)
 
@@ -86,7 +88,7 @@ class RHD:
             xyz21 = xyz[21:].copy()
             uv21 = uv_vis[21:, :2].copy()
             vis21 = uv_vis[21:, 2]
-            mask_vis = mask_r.astype(np.float32)
+            mask_vis = mask_r.astype(np.uint8) * 255
         else:  # left: flip to right
             image = image[:, ::-1].copy()
             xyz21 = xyz[:21].copy()
@@ -94,7 +96,7 @@ class RHD:
             uv21 = uv_vis[:21, :2].copy()
             uv21[:, 0] = RAW_RES - uv21[:, 0]
             vis21 = uv_vis[:21, 2]
-            mask_vis = mask_l[:, ::-1].astype(np.float32)
+            mask_vis = mask_l[:, ::-1].astype(np.uint8) * 255
 
         joint_rel = xyz21 - xyz21[0]
         keypoint_scale = float(np.linalg.norm(joint_rel[12] - joint_rel[11]))

@@ -85,7 +85,20 @@ def resized_crop(img: np.ndarray, top: float, left: float, height: float,
 
 
 def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
-    """Bilinear warp of an HxWxC float image with the crop transform."""
+    """Bilinear warp with the crop transform -> float32 [0,1]-scale output.
+
+    uint8 input dispatches to the native C++ warp (native/imgproc.cpp, ~30x
+    faster and GIL-releasing — the loader hot path); float input (or native
+    lib unavailable) runs the numpy reference path below.  Both produce the
+    same bilinear sample with zero-padding outside the source.
+    """
+    if img.dtype == np.uint8:
+        from hifihr_tpu.data import native
+
+        out = native.warp_affine_one(img, affine_trans, res)
+        if out is not None:
+            return out
+        img = img.astype(np.float32) / 255.0
     inv = np.linalg.inv(affine_trans)
     h_out, w_out = res
     ys, xs = np.meshgrid(np.arange(h_out), np.arange(w_out), indexing="ij")

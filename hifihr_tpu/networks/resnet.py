@@ -151,6 +151,11 @@ class StemConvS2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(
+                f"StemConvS2D needs even spatial dims for the 2x2 patchify, "
+                f"got {h}x{w}; pad the input by one row/column first"
+            )
         M, _, pad = _s2d_geometry(self.kernel_size, self.pad_lo)
         xs = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
         xs = xs.reshape(b, h // 2, w // 2, 4 * c)

@@ -90,9 +90,22 @@ def make_train_step(model, loss_computer: LossComputer, dat_name: str, config: C
             return loss_dic["total"], (loss_dic, mutated)
 
         grads, (loss_dic, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        # On-device degenerate-batch guard (reference train_hrnet.py:106-108
+        # skips batches with loss < 1e-10; we also skip non-finite).  Keeping
+        # the guard inside the compiled step lets the host loop run sync-free:
+        # a skipped step is a no-op on the whole state (params, opt moments
+        # AND the step counter), so the host can count skips later as
+        # `steps_run - (state.step - step0)` without fetching a scalar every
+        # step (a host round-trip costs ~32 ms on a tunneled backend).
+        total = loss_dic["total"]
+        ok = jnp.isfinite(total) & (total > 1e-10)
         new_state = state.apply_gradients(
             grads=grads, batch_stats=mutated.get("batch_stats", state.batch_stats)
         )
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new_state, state
+        )
+        loss_dic["skipped"] = 1.0 - ok.astype(jnp.float32)
         return new_state, loss_dic
 
     return train_step

@@ -97,3 +97,41 @@ def test_hrnet_encoder_shapes():
     low, feat = model.apply(vars_, x, train=False)
     assert low is None  # hr18sv2 provides no low-level features (ref parity)
     assert feat.shape == (1, 1024)
+
+
+def test_stem_s2d_matches_direct_stride2_conv(rng):
+    """StemConvS2D with transform_kernel(w) must equal the direct k x k
+    stride-2 conv with the original kernel, for all three pad geometries used
+    by the encoders (ADVICE r2: the roundtrip test alone would let a geometry
+    bug cancel out)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hifihr_tpu.networks.resnet import StemConvS2D
+
+    for k, pad_lo, pad_hi in ((7, 3, 3), (3, 1, 1), (3, 0, 1)):
+        x = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(k, k, 3, 8), jnp.float32) * 0.1
+        direct = jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(pad_lo, pad_hi), (pad_lo, pad_hi)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        mod = StemConvS2D(8, kernel_size=k, pad_lo=pad_lo)
+        out = mod.apply(
+            {"params": {"kernel": StemConvS2D.transform_kernel(w, pad_lo)}}, x
+        )
+        assert out.shape == direct.shape, (k, pad_lo, out.shape, direct.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_stem_s2d_odd_input_raises():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from hifihr_tpu.networks.resnet import StemConvS2D
+
+    mod = StemConvS2D(8, kernel_size=3, pad_lo=1)
+    w = jnp.zeros((2, 2, 12, 8), jnp.float32)
+    with _pytest.raises(ValueError, match="even spatial"):
+        mod.apply({"params": {"kernel": w}}, jnp.zeros((1, 15, 16, 3)))

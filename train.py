@@ -22,7 +22,8 @@ def build_loaders(config):
                 from hifihr_tpu.data.freihand import FreiHand
 
                 return FreiHand(config.freihand_base_path, split=split,
-                                queries=queries, semi_ratio=config.semi_ratio)
+                                queries=queries, semi_ratio=config.semi_ratio,
+                                four_channel=config.four_channel)
             logging.warning("FreiHAND data not found; using the synthetic stand-in")
             size = config.controlled_size if config.controlled_exp else 256
             return SyntheticHandDataset(size=size, image_size=config.image_size)
@@ -53,7 +54,9 @@ def build_loaders(config):
         # (reference data/dataset.py:97-106 limit_size)
         if config.controlled_exp and not isinstance(ds, SyntheticHandDataset):
             ds = Subset(ds, config.controlled_size)
-        train_loaders.append(BatchLoader(ds, config.train_batch))
+        train_loaders.append(
+            BatchLoader(ds, config.train_batch, num_workers=config.num_workers)
+        )
     train_loader = (
         ConcatLoader(train_loaders) if len(train_loaders) > 1 else train_loaders[0]
     )
@@ -61,7 +64,8 @@ def build_loaders(config):
     val_loader = None
     if config.val_datasets:
         ds = dataset_for(config.val_datasets[0], "evaluation", config.val_queries)
-        val_loader = BatchLoader(ds, config.val_batch, shuffle=False)
+        val_loader = BatchLoader(ds, config.val_batch, shuffle=False,
+                                 drop_last=False, num_workers=config.num_workers)
     return train_loader, val_loader
 
 
