@@ -97,6 +97,82 @@ def _measure(aa_mode: str, batch_size: int, steps: int):
     return batch_size / float(np.median(times))
 
 
+def _measure_real_data(batch_size: int = BATCH, epochs: int = 2):
+    """End-to-end REAL-DATA training throughput (VERDICT r2 task #1): on-disk
+    JPEG fixture -> native decode -> native affine warp (rotation aug + K
+    update) -> worker-threaded collate -> prefetch H2D -> the same jitted
+    train step as the synthetic measure.  First epoch warms (compile +
+    page cache); the second is timed wall-clock with one final sync — the
+    same sync discipline the Trainer's sync-free loop uses."""
+    import numpy as np_
+
+    from hifihr_tpu.config import Config
+    from hifihr_tpu.data.base import BatchLoader
+    from hifihr_tpu.data.freihand import FreiHand
+    from hifihr_tpu.data.pipeline import prefetch_to_device
+    from hifihr_tpu.losses.stack import LossComputer
+    from hifihr_tpu.models.hifihr import HiFiHR
+    from hifihr_tpu.parallel.mesh import make_mesh
+    from hifihr_tpu.training.steps import make_sched, make_train_step
+    from hifihr_tpu.training.train_state import create_train_state
+    from tools.make_freihand_fixture import make_fixture
+
+    n_img = 2048
+    fixture = os.environ.get("HIFIHR_FIXTURE_DIR", "/tmp/hifihr_fixture_2048")
+    make_fixture(fixture, n=n_img, image_size=IMAGE_SIZE)
+
+    cfg = Config(
+        pretrain="res50", hand_model="mano", render=True, light_estimation=True,
+        image_size=IMAGE_SIZE, aa_factor=3, aa_mode="msaa", losses=LOSSES,
+    )
+    model = HiFiHR(config=cfg)
+    ds = FreiHand(
+        fixture, split="training", db_size=n_img, n_versions=1,
+        queries=("trans_images", "trans_Ks", "trans_joints", "trans_verts",
+                 "scales", "trans_masks", "open_2dj"),
+    )
+    loader = BatchLoader(ds, batch_size, num_workers=cfg.num_workers,
+                         prefetch_batches=3)
+    # strip loader-only keys so the batch pytree matches _fake_batch exactly
+    # and the jitted step program is shared with the synthetic measure
+    drop = ("idxs", "open_2dj", "open_2dj_con")
+
+    def stripped():
+        for b in loader:
+            for k in drop:
+                b.pop(k, None)
+            yield b
+
+    mesh = make_mesh()
+    from __graft_entry__ import _fake_batch
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               _fake_batch(batch_size, IMAGE_SIZE))
+    step = make_train_step(model, LossComputer(cfg), "FreiHand", cfg)
+    sched = make_sched(cfg, 0)
+
+    ips = 0.0
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        n_steps = 0
+        loss_dic = None
+        for dev_batch in prefetch_to_device(stripped(), mesh):
+            dev_batch.pop("dataset", None)
+            state, loss_dic = step(state, dev_batch, sched)
+            n_steps += 1
+        total = float(loss_dic["total"])  # one sync drains the device chain
+        assert np.isfinite(total)
+        ips = n_steps * batch_size / (time.perf_counter() - t0)
+    return ips
+
+
+def _extra(record, key, fn):
+    try:
+        record[key] = round(fn(), 2)
+    except Exception as exc:  # noqa: BLE001 — companion numbers only
+        record[key] = f"failed: {exc}"
+
+
 def main():
     ips = _measure("msaa", BATCH, STEPS)
     record = {
@@ -109,11 +185,10 @@ def main():
         "batch": BATCH,
         "aa": "msaa 3x3 (alpha-exact vs reference pooling; interior shading within 0.02)",
     }
+    if os.environ.get("BENCH_REAL_DATA", "1") != "0":
+        _extra(record, "train_images_per_sec_real_data", _measure_real_data)
     if os.environ.get("BENCH_SSAA", "1") != "0":
-        try:
-            record["ssaa_images_per_sec"] = round(_measure("ssaa", 8, 5), 2)
-        except Exception as exc:  # noqa: BLE001 — companion number only
-            record["ssaa_images_per_sec"] = f"failed: {exc}"
+        _extra(record, "ssaa_images_per_sec", lambda: _measure("ssaa", 8, 5))
     print(json.dumps(record))
 
 

@@ -28,9 +28,20 @@ OPTIMIZERS = ("Adam", "AdamW")
 #  * scalar lambda_pose / lambda_j2d_gt — the reference driver clobbers these
 #    with its stepped schedule anyway (train_hrnet.py:453-465,516)
 #  * writer_topic/demo_freq_evaluation/mode_0 — cosmetic/stale reference keys
+#  * pretrain_segmnet — the reference's loading branch (train_utils.py:18-24)
+#    only fires for a legacy model class with a `segmnet` attribute; the
+#    active Model (models_res_nimble.py) has none, so the key is dead upstream
+#  * new_model — selects the legacy models.py driver, which is ABSENT from the
+#    reference tree (train_hrnet.py:7); only new_model=true configs run there
+#  * task — keys the reference's per-submodule partial save_model variants
+#    (train_utils.py:134-199); orbax checkpoints here store the full state and
+#    restore selectively (CheckpointManager.restore_submodules), subsuming it
+#  * val_interval — defined in train_options.py:65 but read nowhere in the
+#    reference; eval cadence is save_interval (train_hrnet.py:475-484)
 _KNOWN_IGNORED_KEYS = frozenset({
     "train_requires", "test_requires", "writer_topic",
     "demo_freq_evaluation", "mode_0", "lambda_pose", "lambda_j2d_gt",
+    "pretrain_segmnet", "new_model", "task", "val_interval",
 })
 
 
@@ -128,8 +139,11 @@ class Config:
     # checkpointing / resume
     pretrain_model: str | None = None
     pretrain_texture_model: str | None = None
-    pretrain_segmnet: str | None = None
     pretrain_rgb2hm: str | None = None
+    # converted-imagenet encoder warm start (reference loads torchvision/timm
+    # pretrained encoders, res_encoder.py:349-353); default resolves
+    # assets/imagenet_<pretrain>.npz if present
+    encoder_imagenet_npz: str | None = None
 
     # logging
     base_out_path: str = "output/debug"
@@ -139,11 +153,8 @@ class Config:
 
     # misc reference passthroughs (kept for JSON compatibility)
     mode: tuple = ("training",)
-    task: str = "train"
-    new_model: bool = True
     is_val: bool = False
     if_test: bool = True
-    val_interval: int = 1
     test_refinement: bool = False
     save_2d: bool = False
     save_3d: bool = False

@@ -101,14 +101,15 @@ class DARTset:
         from hifihr_tpu.geometry import crops
 
         img = crops.resized_crop(
-            rgba[..., :3], 0, 0, rgba.shape[0], rgba.shape[1], [OUT_RES, OUT_RES]
+            rgba[..., :3], 0, 0, rgba.shape[0], rgba.shape[1],
+            [OUT_RES, OUT_RES], out_u8=True
         )
         mask = None
         if rgba.shape[-1] == 4:
             alpha = crops.resized_crop(
                 rgba[..., 3], 0, 0, rgba.shape[0], rgba.shape[1], [OUT_RES, OUT_RES]
             )
-            mask = (alpha >= 0.5).astype(np.float32)
+            mask = (alpha >= 0.5).astype(np.uint8)
 
         pose = self.raw_mano[idx]
         root_aa = matrix_to_axis_angle(
@@ -119,7 +120,7 @@ class DARTset:
         ).astype(np.float32)
 
         sample = {
-            "imgs": np.clip(img, 0, 1),
+            "imgs": img,  # uint8; normalised on device
             "ortho_intr": ortho,
             "joints": joints.astype(np.float32),
             "j2d_gt": j2d.astype(np.float32),

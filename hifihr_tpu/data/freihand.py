@@ -73,7 +73,13 @@ class FreiHand:
         train: bool | None = None,
         semi_ratio: float | None = None,
         four_channel: bool = False,
+        db_size: int | None = None,
+        n_versions: int = N_COLOR_VERSIONS,
     ):
+        """`db_size`/`n_versions` override the hardcoded FreiHAND geometry
+        (32560 frames x 4 color versions) so FreiHAND-format fixture sets of
+        any size load through the exact same code path (bench.py's real-data
+        throughput measurement uses this)."""
         self.base_path = base_path
         self.split = split
         self.queries = tuple(queries)
@@ -81,6 +87,10 @@ class FreiHand:
         self.train = train if train is not None else split in ("training", "trainval")
         self.semi_ratio = semi_ratio
         self.four_channel = four_channel
+        self.db_size = int(db_size) if db_size else (
+            DB_SIZE_EVAL if split == "evaluation" else DB_SIZE_TRAIN
+        )
+        self.n_versions = n_versions
         self._rng = np.random.RandomState(0)
 
         prefix = "evaluation" if split == "evaluation" else "training"
@@ -101,23 +111,24 @@ class FreiHand:
         self.open_2dj = _json_load(open_path) if os.path.exists(open_path) else None
 
         if split == "training":
-            self.indices = np.arange(DB_SIZE_TRAIN * N_COLOR_VERSIONS)
+            self.indices = np.arange(self.db_size * self.n_versions)
         elif split == "trainval":
-            base = np.arange(TRAINVAL_SPLIT)
+            split_at = min(TRAINVAL_SPLIT, self.db_size)
+            base = np.arange(split_at)
             self.indices = np.concatenate(
-                [base + v * DB_SIZE_TRAIN for v in range(N_COLOR_VERSIONS)]
+                [base + v * self.db_size for v in range(self.n_versions)]
             )
         elif split == "val":
-            self.indices = np.arange(TRAINVAL_SPLIT, DB_SIZE_TRAIN)
+            self.indices = np.arange(min(TRAINVAL_SPLIT, self.db_size), self.db_size)
         else:
-            self.indices = np.arange(DB_SIZE_EVAL)
+            self.indices = np.arange(self.db_size)
 
     def __len__(self) -> int:
         return len(self.indices)
 
     # -- raw accessors -------------------------------------------------------
     def _gt_idx(self, idx: int) -> int:
-        return idx % DB_SIZE_TRAIN if self.split != "evaluation" else idx
+        return idx % self.db_size if self.split != "evaluation" else idx
 
     def get_img(self, idx: int, as_u8: bool = False) -> np.ndarray:
         return _load_image(
@@ -126,7 +137,7 @@ class FreiHand:
 
     def get_mask(self, idx: int, as_u8: bool = False) -> np.ndarray:
         m = _load_image(
-            os.path.join(self.mask_dir, "%08d.jpg" % (idx % DB_SIZE_TRAIN)),
+            os.path.join(self.mask_dir, "%08d.jpg" % (idx % self.db_size)),
             as_u8=True,
         )
         if m.ndim == 3:
@@ -146,7 +157,7 @@ class FreiHand:
         if "images" in q or "trans_images" in q:
             image = self.get_img(idx, as_u8=True)
         if "images" in q:
-            sample["imgs"] = image.astype(np.float32) / 255.0
+            sample["imgs"] = image  # uint8; the train step normalises on device
         K = np.asarray(self.K_list[gt], np.float32)
         if "Ks" in q or "trans_Ks" in q:
             sample["Ks"] = K
@@ -177,7 +188,7 @@ class FreiHand:
         if "masks" in q or "trans_masks" in q:
             mask = self.get_mask(idx, as_u8=True)
             if "masks" in q:
-                sample["segms_gt"] = mask.astype(np.float32) / 255.0
+                sample["segms_gt"] = (mask > 0).astype(np.uint8)  # {0,1} u8
 
         # texture confidence (traineval_util.py:60-66): zero when any keypoint
         # conf <= 0.1, else mean conf; color versions beyond the first get a
@@ -185,7 +196,7 @@ class FreiHand:
         if "open_2dj" in sample:
             con = sample["open_2dj_con"][:, 0]
             gate = float(con.min() > 0.1)
-            idx_con = 1.1 if idx < DB_SIZE_TRAIN else 0.1
+            idx_con = 1.1 if idx < self.db_size else 0.1
             sample["texture_con"] = np.float32(gate * float(con.mean()) * idx_con)
 
         if self.train and "trans_images" in q:
@@ -203,7 +214,9 @@ class FreiHand:
             affinetrans, post_rot_trans = crops.get_affine_transform(
                 center, scale, [224, 224], rot=rot
             )
-            sample["imgs"] = crops.transform_img(image, affinetrans, [224, 224])
+            sample["imgs"] = crops.transform_img(
+                image, affinetrans, [224, 224], out_u8=True
+            )
             if "trans_Ks" in q:
                 sample["Ks"] = (post_rot_trans @ K).astype(np.float32)
             if "trans_joints" in q:
@@ -211,9 +224,10 @@ class FreiHand:
             if "trans_verts" in q:
                 sample["verts"] = (rot_mat @ verts.T).T
             if "trans_masks" in q and mask is not None:
-                sample["segms_gt"] = np.round(
-                    crops.transform_img(mask, affinetrans, [224, 224])
-                )
+                sample["segms_gt"] = (
+                    crops.transform_img(mask, affinetrans, [224, 224],
+                                        out_u8=True) >= 128
+                ).astype(np.uint8)
             if "trans_open_2dj" in q and "open_2dj" in sample:
                 sample["open_2dj"] = crops.transform_coords(
                     sample["open_2dj"], affinetrans
@@ -232,7 +246,7 @@ class FreiHand:
             self.semi_ratio is not None
             and "j2d_gt" in sample
             and "open_2dj" in sample
-            and gt < DB_SIZE_TRAIN * self.semi_ratio
+            and gt < self.db_size * self.semi_ratio
         ):
             sample["open_2dj"] = sample["j2d_gt"].copy()
             sample["open_2dj_con"] = np.ones_like(sample["open_2dj_con"])
@@ -245,9 +259,13 @@ class FreiHand:
         # concatenates raw coordinates onto the image tensor, which cannot
         # work — data/dataset.py:282-289; this is the working equivalent.)
         if self.four_channel and "imgs" in sample and "open_2dj" in sample:
+            # heatmap channel is float -> promote imgs to f32 for the concat
+            imgs = sample["imgs"]
+            if imgs.dtype == np.uint8:
+                imgs = imgs.astype(np.float32) / 255.0
             sample["imgs"] = np.concatenate(
-                [sample["imgs"], keypoint_heatmap_channel(
-                    sample["open_2dj"], sample["imgs"].shape[0])[..., None]],
+                [imgs, keypoint_heatmap_channel(
+                    sample["open_2dj"], imgs.shape[0])[..., None]],
                 axis=-1,
             )
         return sample

@@ -126,17 +126,19 @@ class HO3D:
         y1 = crop_center[1] - css // 2
         x1 = crop_center[0] - css // 2
 
-        img_crop = crops.resized_crop(image, y1, x1, css, css, [OUT_RES, OUT_RES])
-        sample["imgs"] = np.clip(img_crop, 0, 1)
+        img_crop = crops.resized_crop(image, y1, x1, css, css,
+                                      [OUT_RES, OUT_RES], out_u8=True)
+        sample["imgs"] = img_crop  # uint8; normalised on device
 
         mask_path = os.path.join(self.seq_dir, seq, "seg", f"{fid}.png")
         if os.path.exists(mask_path) and "trans_masks" in self.queries:
             mask = _load_image(mask_path, as_u8=True)
             hand_mask = mask[..., 0] if mask.ndim == 3 else mask
             hand_mask = (hand_mask >= 128).astype(np.uint8) * 255
-            sample["segms_gt"] = np.round(
-                crops.resized_crop(hand_mask, y1, x1, css, css, [OUT_RES, OUT_RES])
-            ).astype(np.float32)
+            sample["segms_gt"] = (
+                crops.resized_crop(hand_mask, y1, x1, css, css,
+                                   [OUT_RES, OUT_RES], out_u8=True) >= 128
+            ).astype(np.uint8)
 
         def to_crop(uv):
             return np.stack(

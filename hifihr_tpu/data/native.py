@@ -48,6 +48,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    lib.warp_affine_batch_u8.restype = None
+    lib.warp_affine_batch_u8.argtypes = lib.warp_affine_batch.argtypes
     _lib = lib
     return lib
 
@@ -56,12 +58,20 @@ def available() -> bool:
     return bool(_load())
 
 
+_decode_buf = __import__("threading").local()
+
+
 def decode_jpeg(data: bytes, max_h: int = 1080, max_w: int = 1920) -> np.ndarray | None:
     """JPEG bytes -> (H, W, 3) uint8, or None if native decode unavailable."""
     lib = _load()
     if not lib:
         return None
-    out = np.empty((max_h, max_w, 3), np.uint8)
+    # thread-local scratch: avoids a fresh max_h*max_w*3 allocation per call
+    # (the decoded image is copied out at its true size below)
+    out = getattr(_decode_buf, "arr", None)
+    if out is None or out.shape[0] < max_h or out.shape[1] < max_w:
+        out = np.empty((max_h, max_w, 3), np.uint8)
+        _decode_buf.arr = out
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.decode_jpeg(
@@ -76,18 +86,22 @@ def decode_jpeg(data: bytes, max_h: int = 1080, max_w: int = 1920) -> np.ndarray
 
 
 def warp_affine_one(
-    src: np.ndarray, affine: np.ndarray, out_res: tuple[int, int]
+    src: np.ndarray, affine: np.ndarray, out_res: tuple[int, int],
+    out_u8: bool = False,
 ) -> np.ndarray | None:
     """Single-image native warp: (H, W[, C]) uint8 -> (out_h, out_w[, C])
-    float32 in [0,1].  Used per-sample from the loader hot path (the numpy
-    bilinear warp in geometry/crops.py is ~10 ms per 224^2 sample; this is
-    ~0.3 ms), with the GIL released for the duration of the C call so loader
-    worker threads overlap with device transfer."""
+    float32 in [0,1] (or rounded uint8 with `out_u8`, keeping the sample u8
+    end-to-end for a 4x smaller H2D transfer).  Used per-sample from the
+    loader hot path (the numpy bilinear warp in geometry/crops.py is ~10 ms
+    per 224^2 sample; this is ~0.3 ms), with the GIL released for the
+    duration of the C call so loader worker threads overlap with device
+    transfer."""
     squeeze = src.ndim == 2
     if squeeze:
         src = src[..., None]
     out = warp_affine_batch(
-        src[None], np.asarray(affine, np.float32)[None], out_res, n_threads=1
+        src[None], np.asarray(affine, np.float32)[None], out_res, n_threads=1,
+        out_u8=out_u8,
     )
     if out is None:
         return None
@@ -99,16 +113,20 @@ def warp_affine_batch(
     affines: np.ndarray,  # (B, 3, 3) float32, src -> dst pixel coords
     out_res: tuple[int, int],
     n_threads: int = 0,
+    out_u8: bool = False,
 ) -> np.ndarray | None:
-    """Batched bilinear warp + u8->f32 [0,1] conversion; None if unavailable."""
+    """Batched bilinear warp; u8->f32 [0,1] fused (default) or rounded uint8
+    output (`out_u8`).  None if the native lib is unavailable."""
     lib = _load()
     if not lib:
         return None
     srcs = np.ascontiguousarray(srcs, np.uint8)
     affines = np.ascontiguousarray(affines, np.float32)
     b, h, w, c = srcs.shape
-    out = np.empty((b, out_res[0], out_res[1], c), np.float32)
-    lib.warp_affine_batch(
+    dtype = np.uint8 if out_u8 else np.float32
+    out = np.empty((b, out_res[0], out_res[1], c), dtype)
+    fn = lib.warp_affine_batch_u8 if out_u8 else lib.warp_affine_batch
+    fn(
         srcs.ctypes.data_as(ctypes.c_void_p), b, h, w, c,
         affines.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p), out_res[0], out_res[1], n_threads,

@@ -118,10 +118,12 @@ class RHD:
         y1 = crop_center[1] - css // 2
         x1 = crop_center[0] - css // 2
 
-        img_crop = crops.resized_crop(image, y1, x1, css, css, [OUT_RES, OUT_RES])
+        img_crop = crops.resized_crop(image, y1, x1, css, css,
+                                      [OUT_RES, OUT_RES], out_u8=True)
         mask_crop = (
-            crops.resized_crop(mask_vis, y1, x1, css, css, [OUT_RES, OUT_RES]) > 0
-        ).astype(np.float32)
+            crops.resized_crop(mask_vis, y1, x1, css, css, [OUT_RES, OUT_RES],
+                               out_u8=True) > 0
+        ).astype(np.uint8)
 
         uv21_crop = np.stack(
             [
@@ -143,7 +145,7 @@ class RHD:
 
         joints_frei = xyz21[RHD_TO_FREI]
         sample = {
-            "imgs": np.clip(img_crop, 0, 1),
+            "imgs": img_crop,  # uint8; normalised on device
             "Ks": K_crop.astype(np.float32),
             "joints": joints_frei.astype(np.float32),
             "j2d_gt": uv21_crop[RHD_TO_FREI],

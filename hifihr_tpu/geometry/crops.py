@@ -70,7 +70,7 @@ def transform_coords(pts: np.ndarray, affine_trans: np.ndarray, invert: bool = F
 
 
 def resized_crop(img: np.ndarray, top: float, left: float, height: float,
-                 width: float, res) -> np.ndarray:
+                 width: float, res, out_u8: bool = False) -> np.ndarray:
     """Crop a (possibly out-of-bounds, zero-padded) box and resize to res.
 
     numpy equivalent of torchvision resized_crop as used by the RHD/HO3D
@@ -81,11 +81,14 @@ def resized_crop(img: np.ndarray, top: float, left: float, height: float,
     affine = np.linalg.inv(
         np.asarray([[sx, 0, left], [0, sy, top], [0, 0, 1.0]], np.float64)
     )
-    return transform_img(img, affine, res)
+    return transform_img(img, affine, res, out_u8=out_u8)
 
 
-def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
-    """Bilinear warp with the crop transform -> float32 [0,1]-scale output.
+def transform_img(img: np.ndarray, affine_trans: np.ndarray, res,
+                  out_u8: bool = False) -> np.ndarray:
+    """Bilinear warp with the crop transform -> float32 [0,1]-scale output,
+    or rounded uint8 with `out_u8` (keeps augmented images uint8 end-to-end
+    so the H2D transfer is 4x smaller; the train step normalises on device).
 
     uint8 input dispatches to the native C++ warp (native/imgproc.cpp, ~30x
     faster and GIL-releasing — the loader hot path); float input (or native
@@ -95,7 +98,7 @@ def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
     if img.dtype == np.uint8:
         from hifihr_tpu.data import native
 
-        out = native.warp_affine_one(img, affine_trans, res)
+        out = native.warp_affine_one(img, affine_trans, res, out_u8=out_u8)
         if out is not None:
             return out
         img = img.astype(np.float32) / 255.0
@@ -133,7 +136,10 @@ def transform_img(img: np.ndarray, affine_trans: np.ndarray, res) -> np.ndarray:
         + v11 * fx * fy
     )
     shape = (h_out, w_out) + (() if img.ndim == 2 else (img.shape[2],))
-    return out.reshape(shape).astype(np.float32)
+    warped = out.reshape(shape).astype(np.float32)
+    if out_u8:
+        return (warped * 255.0 + 0.5).astype(np.uint8)
+    return warped
 
 
 def color_jitter(

@@ -31,11 +31,14 @@ import numpy as np
 
 from hifihr_tpu.geometry.rotations import axis_angle_to_matrix
 
-_ASSET = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "assets",
-    "nimble_placeholder.npz",
+_ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
 )
+# a converted licensed NIMBLE release (assets/nimble.npz, same schema) takes
+# precedence over the MANO-derived placeholder with no code change
+_ASSET = os.path.join(_ASSETS_DIR, "nimble.npz")
+if not os.path.exists(_ASSET):
+    _ASSET = os.path.join(_ASSETS_DIR, "nimble_placeholder.npz")
 
 # legacy mano joint order used by the reference's nimble branch
 # (hand_3d_model.py:206-210): chain joints with tips inserted at 4/8/12/16/20

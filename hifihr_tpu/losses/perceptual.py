@@ -5,9 +5,11 @@ through VGG19 features up to relu3_2 (torchvision `features[:14]`), L2 between
 feature maps, target branch detached.
 
 Pretrained imagenet weights are a data dependency (like the MANO pickle):
-convert once with tools/convert_vgg.py into assets/vgg19_features.npz.  If the
-file is absent the module falls back to fixed random (He) features — still a
-valid perceptual-style metric, and the loss API stays identical.
+convert once with `tools/convert_torch_weights.py vgg <vgg19.pth>
+hifihr_tpu/assets/vgg19_features.npz`.  If the file is absent the module
+falls back to fixed random (He) features — still a valid perceptual-style
+metric, and the loss API stays identical; the Trainer logs a loud DEGRADED
+warning at startup (hifihr_tpu/utils/weights.py).
 """
 
 from __future__ import annotations

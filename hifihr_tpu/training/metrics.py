@@ -109,6 +109,11 @@ def texture_metrics(re_img, re_sil, real_img, gt_mask=None, with_lpips=True) -> 
     AlexNet port; without converted weights it runs random-init features and
     the returned key is suffixed accordingly.
     """
+    # loaders may deliver u8 images/masks (small H2D transfers)
+    if real_img.dtype == jnp.uint8:
+        real_img = real_img.astype(jnp.float32) / 255.0
+    if gt_mask is not None and gt_mask.dtype == jnp.uint8:
+        gt_mask = gt_mask.astype(jnp.float32)
     sil = (re_sil > 0).astype(re_img.dtype)
     pred = re_img * sil
     gt = real_img * (gt_mask[..., None] if gt_mask is not None else sil)

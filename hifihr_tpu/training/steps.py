@@ -63,6 +63,20 @@ def _forward(model, params, batch_stats, batch, dat_name, config, train: bool):
     return outputs, mutated
 
 
+def normalize_batch(batch: dict) -> dict:
+    """Device-side u8 -> float normalisation (runs inside jit, fuses into the
+    first consumer).  Loaders emit images/masks as uint8 so the host->device
+    transfer is 4x smaller than float32 — on a remote/tunneled device the H2D
+    link is the real-data throughput ceiling (measured ~29 MB/s here: a b64
+    224^2 float batch costs 1.35 s to move, u8 0.42 s)."""
+    batch = dict(batch)
+    if "imgs" in batch and batch["imgs"].dtype == jnp.uint8:
+        batch["imgs"] = batch["imgs"].astype(jnp.float32) / 255.0
+    if "segms_gt" in batch and batch["segms_gt"].dtype == jnp.uint8:
+        batch["segms_gt"] = batch["segms_gt"].astype(jnp.float32)
+    return batch
+
+
 def _root_center_targets(batch: dict, dat_name: str) -> dict:
     """GT joints/verts -> root-relative, like the reference driver
     (train_hrnet.py:64-68).  Loaders emit camera-absolute targets + root_xyz;
@@ -80,6 +94,7 @@ def make_train_step(model, loss_computer: LossComputer, dat_name: str, config: C
 
     @jax.jit
     def train_step(state, batch, sched):
+        batch = normalize_batch(batch)
         batch = _root_center_targets(batch, dat_name)
 
         def loss_fn(params):
@@ -116,6 +131,7 @@ def make_eval_step(model, dat_name: str, config: Config) -> Callable:
 
     @functools.partial(jax.jit, static_argnames=())
     def eval_step(state, batch):
+        batch = normalize_batch(batch)
         outputs, _ = _forward(
             model, state.params, state.batch_stats, batch, dat_name, config, train=False
         )

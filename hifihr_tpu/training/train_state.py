@@ -41,6 +41,9 @@ def make_optimizer(config: Config, steps_per_epoch: int):
 def create_train_state(
     model, config: Config, rng, sample_batch: dict, steps_per_epoch: int = 1000
 ) -> TrainState:
+    from hifihr_tpu.training.steps import normalize_batch
+
+    sample_batch = normalize_batch(dict(sample_batch))
     variables = model.init(
         rng,
         sample_batch["imgs"],
@@ -48,6 +51,12 @@ def create_train_state(
         sample_batch.get("root_xyz"),
         train=False,
     )
+    # converted-imagenet encoder warm start (reference res_encoder.py:349-353)
+    from hifihr_tpu.utils.weights import encoder_npz_for, merge_npz_into_variables
+
+    npz = encoder_npz_for(config)
+    if npz:
+        variables = merge_npz_into_variables(npz, variables)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(config, steps_per_epoch)

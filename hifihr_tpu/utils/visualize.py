@@ -194,3 +194,38 @@ def save_2d_errors(path_prefix: str, j2d_pred: np.ndarray, j2d_gt: np.ndarray):
     fig.savefig(path_prefix + "_2d_errors.png", dpi=110)
     plt.close(fig)
     return errs
+
+
+def save_2d_error_report(save_dir: str, named_errors: dict) -> dict:
+    """Per-epoch 2D-error artifacts matching the reference's save_2d_result
+    (utils/traineval_util.py:371-426): per-sample-per-joint error txt per
+    source ('proj' = reprojected model joints, 'pred' = heatmap branch,
+    'detect' = openpose labels), plus one combined sorted-error-curve png.
+    `named_errors[name]` is an (N, 21) array of pixel distances.  Returns
+    {name: overall mean error}."""
+    os.makedirs(save_dir, exist_ok=True)
+    means = {}
+    for name, errs in named_errors.items():
+        errs = np.asarray(errs)
+        np.savetxt(os.path.join(save_dir, f"j2d_{name}_ED.txt"), errs, fmt="%.4f")
+        means[name] = float(errs.mean())
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, errs in named_errors.items():
+        per_sample = np.asarray(errs).mean(-1)
+        ax.plot(np.sort(per_sample), label=f"{name} (mean {means[name]:.2f}px)")
+    ax.set_xlabel("sample (sorted)")
+    ax.set_ylabel("mean 2D error (px)")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(
+        save_dir,
+        "error-" + "-".join(f"{k}_{v:.3f}" for k, v in means.items()) + ".png",
+    ), dpi=110)
+    plt.close(fig)
+    return means

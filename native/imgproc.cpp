@@ -80,22 +80,82 @@ static void warp_one(const uint8_t* src, int h, int w, int c,
   float ia = e / det, ib = -b / det, id = -d / det, ie = a / det;
   float itx = -(ia * tx + ib * ty), ity = -(id * tx + ie * ty);
 
+  constexpr float kInv255 = 1.f / 255.f;
   for (int y = 0; y < out_h; y++) {
     for (int x = 0; x < out_w; x++) {
       float sx = ia * x + ib * y + itx;
       float sy = id * x + ie * y + ity;
       int x0 = (int)std::floor(sx), y0 = (int)std::floor(sy);
       float fx = sx - x0, fy = sy - y0;
-      for (int ch = 0; ch < c; ch++) {
-        auto sample = [&](int yy, int xx) -> float {
-          if (yy < 0 || yy >= h || xx < 0 || xx >= w) return 0.f;
-          return src[((size_t)yy * w + xx) * c + ch] * (1.f / 255.f);
-        };
-        float v = sample(y0, x0) * (1 - fx) * (1 - fy) +
-                  sample(y0, x0 + 1) * fx * (1 - fy) +
-                  sample(y0 + 1, x0) * (1 - fx) * fy +
-                  sample(y0 + 1, x0 + 1) * fx * fy;
-        dst[((size_t)y * out_w + x) * c + ch] = v;
+      // bilinear tap weights hoisted out of the channel loop
+      float w00 = (1 - fx) * (1 - fy) * kInv255;
+      float w01 = fx * (1 - fy) * kInv255;
+      float w10 = (1 - fx) * fy * kInv255;
+      float w11 = fx * fy * kInv255;
+      float* out = dst + ((size_t)y * out_w + x) * c;
+      if (x0 >= 0 && x0 + 1 < w && y0 >= 0 && y0 + 1 < h) {
+        // interior fast path: no per-tap bounds checks
+        const uint8_t* p00 = src + ((size_t)y0 * w + x0) * c;
+        const uint8_t* p10 = p00 + (size_t)w * c;
+        for (int ch = 0; ch < c; ch++) {
+          out[ch] = p00[ch] * w00 + p00[c + ch] * w01 + p10[ch] * w10 +
+                    p10[c + ch] * w11;
+        }
+      } else {
+        for (int ch = 0; ch < c; ch++) {
+          auto sample = [&](int yy, int xx) -> float {
+            if (yy < 0 || yy >= h || xx < 0 || xx >= w) return 0.f;
+            return src[((size_t)yy * w + xx) * c + ch];
+          };
+          out[ch] = sample(y0, x0) * w00 + sample(y0, x0 + 1) * w01 +
+                    sample(y0 + 1, x0) * w10 + sample(y0 + 1, x0 + 1) * w11;
+        }
+      }
+    }
+  }
+}
+
+// uint8-output variant of warp_one: bilinear in u8 domain, rounded to u8.
+// Keeps the loader output uint8 end-to-end so the host->device transfer is
+// 4x smaller than float32 (the H2D link is the throughput ceiling when the
+// device is remote; a 224^2 batch is 9.6 MB u8 vs 38.5 MB f32).
+static void warp_one_u8(const uint8_t* src, int h, int w, int c,
+                        const float* affine, uint8_t* dst, int out_h,
+                        int out_w) {
+  float a = affine[0], b = affine[1], tx = affine[2];
+  float d = affine[3], e = affine[4], ty = affine[5];
+  float det = a * e - b * d;
+  if (std::fabs(det) < 1e-12f) det = 1e-12f;
+  float ia = e / det, ib = -b / det, id = -d / det, ie = a / det;
+  float itx = -(ia * tx + ib * ty), ity = -(id * tx + ie * ty);
+
+  for (int y = 0; y < out_h; y++) {
+    for (int x = 0; x < out_w; x++) {
+      float sx = ia * x + ib * y + itx;
+      float sy = id * x + ie * y + ity;
+      int x0 = (int)std::floor(sx), y0 = (int)std::floor(sy);
+      float fx = sx - x0, fy = sy - y0;
+      float w00 = (1 - fx) * (1 - fy), w01 = fx * (1 - fy);
+      float w10 = (1 - fx) * fy, w11 = fx * fy;
+      uint8_t* out = dst + ((size_t)y * out_w + x) * c;
+      if (x0 >= 0 && x0 + 1 < w && y0 >= 0 && y0 + 1 < h) {
+        const uint8_t* p00 = src + ((size_t)y0 * w + x0) * c;
+        const uint8_t* p10 = p00 + (size_t)w * c;
+        for (int ch = 0; ch < c; ch++) {
+          float v = p00[ch] * w00 + p00[c + ch] * w01 + p10[ch] * w10 +
+                    p10[c + ch] * w11;
+          out[ch] = (uint8_t)(v + 0.5f);
+        }
+      } else {
+        for (int ch = 0; ch < c; ch++) {
+          auto sample = [&](int yy, int xx) -> float {
+            if (yy < 0 || yy >= h || xx < 0 || xx >= w) return 0.f;
+            return src[((size_t)yy * w + xx) * c + ch];
+          };
+          float v = sample(y0, x0) * w00 + sample(y0, x0 + 1) * w01 +
+                    sample(y0 + 1, x0) * w10 + sample(y0 + 1, x0 + 1) * w11;
+          out[ch] = (uint8_t)(v + 0.5f);
+        }
       }
     }
   }
@@ -116,6 +176,26 @@ void warp_affine_batch(const uint8_t* srcs, int batch, int h, int w, int c,
       for (int i = t; i < batch; i += n_threads) {
         warp_one(srcs + (size_t)i * h * w * c, h, w, c, affines + (size_t)i * 9,
                  dsts + (size_t)i * out_h * out_w * c, out_h, out_w);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Same, uint8 output.
+void warp_affine_batch_u8(const uint8_t* srcs, int batch, int h, int w, int c,
+                          const float* affines, uint8_t* dsts, int out_h,
+                          int out_w, int n_threads) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, batch);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) {
+    pool.emplace_back([=]() {
+      for (int i = t; i < batch; i += n_threads) {
+        warp_one_u8(srcs + (size_t)i * h * w * c, h, w, c,
+                    affines + (size_t)i * 9,
+                    dsts + (size_t)i * out_h * out_w * c, out_h, out_w);
       }
     });
   }

@@ -236,25 +236,12 @@ def expand_conv1_to_4ch(kernel: np.ndarray) -> np.ndarray:
 
 
 def load_resnet_npz_into_variables(npz_path: str, variables: dict) -> dict:
-    """Merge a converted resnet npz into a flax variables tree (backbone scope)."""
-    import flax
+    """Merge a converted npz into a flax variables tree (backbone scope).
+    Canonical implementation lives in hifihr_tpu.utils.weights so the runtime
+    can warm-start encoders without importing tools/."""
+    from hifihr_tpu.utils.weights import merge_npz_into_variables
 
-    flat = dict(np.load(npz_path))
-    params = flax.traverse_util.flatten_dict(variables["params"], sep="/")
-    stats = flax.traverse_util.flatten_dict(variables.get("batch_stats", {}), sep="/")
-    for key, arr in flat.items():
-        kind, rest = key.split("/", 1)
-        tree = params if kind == "params" else stats
-        for cand in list(tree):
-            if cand.endswith(rest) or cand.endswith(rest.replace("/", "/")):
-                if tree[cand].shape == arr.shape:
-                    tree[cand] = np.asarray(arr)
-                break
-    out = dict(variables)
-    out["params"] = flax.traverse_util.unflatten_dict(params, sep="/")
-    if stats:
-        out["batch_stats"] = flax.traverse_util.unflatten_dict(stats, sep="/")
-    return out
+    return merge_npz_into_variables(npz_path, variables)
 
 
 if __name__ == "__main__":
