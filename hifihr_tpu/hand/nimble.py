@@ -59,11 +59,16 @@ class NimbleModel(NamedTuple):
     mano_vertex_map: np.ndarray
     parents: np.ndarray
     posedirs: np.ndarray | None = None  # (V, 3, 135) pose correctives
-    # UV appearance model (reference NIMBLE PCA diffuse maps,
+    # UV appearance model (reference NIMBLE PCA diffuse/normal/spec maps,
     # models_res_nimble.py:132-142); derived by tools/make_nimble_uv.py
     vert_uv: np.ndarray | None = None  # (V, 2) in [0,1]
     tex_mean_uv: np.ndarray | None = None  # (h, w, 3) low-res mean map
     tex_basis_uv: np.ndarray | None = None  # (h, w, 3, T) low-res PCA maps
+    face_uv: np.ndarray | None = None  # (F, 3, 2) per-corner seamed atlas
+    normal_mean_uv: np.ndarray | None = None  # (h, w, 3) tangent-space [0,1]
+    normal_basis_uv: np.ndarray | None = None  # (h, w, 3, T)
+    spec_mean_uv: np.ndarray | None = None  # (h, w, 1)
+    spec_basis_uv: np.ndarray | None = None  # (h, w, 1, T)
 
 
 @lru_cache(maxsize=2)
@@ -97,18 +102,32 @@ class NimbleLayer:
             if m.posedirs is not None
             else None
         )
-        # UV appearance model: low-res stored maps -> render-res once at init
+        # UV appearance model: low-res stored maps -> render-res once at init.
+        # Mean/basis triples (diffuse, tangent-space normal, spec weight) are
+        # concatenated channel-wise into ONE (h, w, 7[, T]) stack so the
+        # renderer samples all appearance channels with a single gather.
         self.vert_uv = f32(m.vert_uv) if m.vert_uv is not None else None
+        self.face_uv = f32(m.face_uv) if m.face_uv is not None else None
         self.tex_mean_uv = None
         self.tex_basis_uv = None
         if m.tex_mean_uv is not None and m.tex_basis_uv is not None:
-            self.tex_mean_uv = jax.image.resize(
-                f32(m.tex_mean_uv), (tex_size, tex_size, 3), "bilinear"
-            )
-            basis = f32(m.tex_basis_uv[..., :tex_ncomp])
-            self.tex_basis_uv = jax.image.resize(
-                basis, (tex_size, tex_size, 3, basis.shape[-1]), "bilinear"
-            )
+            def up(a, c):
+                return jax.image.resize(f32(a), (tex_size, tex_size) + tuple(c),
+                                        "bilinear")
+
+            means = [up(m.tex_mean_uv, (3,))]
+            bases = [up(m.tex_basis_uv[..., :tex_ncomp],
+                        (3, min(tex_ncomp, m.tex_basis_uv.shape[-1])))]
+            if m.normal_mean_uv is not None and m.spec_mean_uv is not None:
+                means += [up(m.normal_mean_uv, (3,)), up(m.spec_mean_uv, (1,))]
+                bases += [
+                    up(m.normal_basis_uv[..., :tex_ncomp],
+                       (3, min(tex_ncomp, m.normal_basis_uv.shape[-1]))),
+                    up(m.spec_basis_uv[..., :tex_ncomp],
+                       (1, min(tex_ncomp, m.spec_basis_uv.shape[-1]))),
+                ]
+            self.tex_mean_uv = jnp.concatenate(means, axis=-1)  # (h, w, 3|7)
+            self.tex_basis_uv = jnp.concatenate(bases, axis=-2)  # (h, w, 3|7, T)
 
     def __call__(self, hand_params: dict, handle_collision: bool = False) -> dict:
         with jax.default_matmul_precision("highest"):

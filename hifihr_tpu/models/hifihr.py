@@ -197,6 +197,7 @@ class HiFiHR(nn.Module):
         if cfg.render and Ks is not None and root_xyz is not None:
             texture_image = None
             vert_uv = None
+            face_uv = None
             if cfg.hand_model == "mano":
                 render_verts = outputs["mano_verts"] + root_xyz
                 albedo = self._vertex_albedo(b)
@@ -205,16 +206,18 @@ class HiFiHR(nn.Module):
                 render_verts = outputs["skin_verts"] - render_root + root_xyz
                 albedo = outputs["skin_albedo"]
                 faces = self.nimble.skin_faces
-                # NIMBLE appearance: PCA UV diffuse map sampled per-fragment
+                # NIMBLE appearance: PCA UV diffuse(+normal+spec) maps
+                # sampled per-fragment through the seamed per-corner atlas
                 # (reference models_res_nimble.py:132-142)
                 if self.nimble.vert_uv is not None:
                     vert_uv = self.nimble.vert_uv
+                    face_uv = self.nimble.face_uv
                     texture_image = outputs["textures"]
             renderer = PhongRenderer(
                 faces,
                 RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor,
                                aa_mode=cfg.aa_mode, with_depth=True),
-                vert_uv=vert_uv,
+                vert_uv=vert_uv, face_uv=face_uv,
             )
             if light_params is not None:
                 light = DirectionalLight.from_estimator(

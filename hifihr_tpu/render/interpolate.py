@@ -18,6 +18,7 @@ def fragment_interpolate(
     verts_screen: jnp.ndarray,  # (B, V, 3) [u, v, z] — differentiable
     faces: jnp.ndarray,  # (F, 3)
     vert_attrs: jnp.ndarray,  # (B, V, D) — differentiable
+    corner_attrs_static: jnp.ndarray | None = None,  # (F, 3, Ds) per-corner
 ):
     """Fused barycentric + attribute interpolation via ONE per-pixel gather.
 
@@ -28,7 +29,13 @@ def fragment_interpolate(
     224^2; the matmul form is single-digit ms both ways.  Elsewhere it is a
     plain indexed gather.
 
-    Returns (pix_attrs (B, H, W, D), mask (B, H, W), zbuf).
+    `corner_attrs_static` carries PER-FACE-CORNER attributes (batch-constant)
+    — e.g. a seamed UV atlas where the same vertex has different UVs in
+    different faces (`vt` semantics in OBJ).  They ride the same packed row
+    and interpolate with the same barycentrics, appended after the
+    per-vertex channels in the output.
+
+    Returns (pix_attrs (B, H, W, D[+Ds]), mask (B, H, W), zbuf).
     """
     import jax
 
@@ -39,17 +46,25 @@ def fragment_interpolate(
     D = vert_attrs.shape[-1]
     tri = gather_face_rows(verts_screen, faces)  # (B, F, 9) — MXU on small meshes
     corner_attrs = gather_face_rows(vert_attrs, faces)  # (B, F, 3D)
-    table = jnp.concatenate([tri, corner_attrs], axis=-1)  # (B, F, 9+3D)
+    Ds = 0
+    if corner_attrs_static is not None:
+        Ds = corner_attrs_static.shape[-1]
+        static = jnp.broadcast_to(
+            corner_attrs_static.reshape(F, 3 * Ds)[None], (B, F, 3 * Ds)
+        ).astype(corner_attrs.dtype)
+        corner_attrs = jnp.concatenate([corner_attrs, static], axis=-1)
+    table = jnp.concatenate([tri, corner_attrs], axis=-1)  # (B, F, 9+3D+3Ds)
 
+    row = 9 + 3 * (D + Ds)
     if jax.default_backend() == "tpu":
         from hifihr_tpu.render.gather_mxu import gather_rows
 
         pix = gather_rows(table, face_id.reshape(B, H * W)).reshape(
-            B, H, W, 9 + 3 * D
+            B, H, W, row
         )  # background rows come back all-zero; the math below masks them
     else:
         b_idx = jnp.arange(B)[:, None, None]
-        pix = table[b_idx, jnp.maximum(face_id, 0)]  # (B, H, W, 9+3D)
+        pix = table[b_idx, jnp.maximum(face_id, 0)]  # (B, H, W, row)
 
     px = jnp.arange(W, dtype=verts_screen.dtype) + 0.5
     py = jnp.arange(H, dtype=verts_screen.dtype) + 0.5
@@ -78,7 +93,11 @@ def fragment_interpolate(
     # outside) but bounds the attrs a pathological face can contribute.
     bary = jnp.clip(bary, -4.0, 5.0)
 
-    attrs3 = pix[..., 9:].reshape(B, H, W, 3, D)
+    attrs3 = pix[..., 9 : 9 + 3 * D].reshape(B, H, W, 3, D)
+    if Ds:
+        attrs3 = jnp.concatenate(
+            [attrs3, pix[..., 9 + 3 * D :].reshape(B, H, W, 3, Ds)], axis=-1
+        )
     # fp32 contraction: the TPU default (bf16) would quantise interpolated
     # positions/normals visibly (bf16 ulp at 224 px is ~1)
     out = jnp.einsum("bhwk,bhwkd->bhwd", bary, attrs3, precision="highest")
@@ -145,5 +164,18 @@ def interpolate_attribute(
     B = vert_attrs.shape[0]
     b_idx = jnp.arange(B)[:, None, None, None]
     tri_attrs = vert_attrs[b_idx, frag["pix_faces"]]  # (B, H, W, 3, D)
+    out = jnp.sum(frag["bary"][..., None] * tri_attrs, axis=-2)
+    return out * frag["mask"][..., None]
+
+
+def interpolate_face_attribute(
+    frag: dict,
+    face_id: jnp.ndarray,  # (B, H, W) int32, -1 = background
+    face_attrs: jnp.ndarray,  # (F, 3, D) per-face-corner, batch-constant
+) -> jnp.ndarray:
+    """Interpolate PER-FACE-CORNER attributes (OBJ `vt` semantics — the same
+    vertex can carry different values in different faces, which is what a
+    seamed UV atlas needs) -> (B, H, W, D)."""
+    tri_attrs = face_attrs[jnp.maximum(face_id, 0)]  # (B, H, W, 3, D)
     out = jnp.sum(frag["bary"][..., None] * tri_attrs, axis=-2)
     return out * frag["mask"][..., None]

@@ -107,3 +107,37 @@ def uniform_laplacian(num_verts: int, faces) -> jnp.ndarray:
     inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
     lap = adj * inv_deg[:, None] - np.diag((deg > 0).astype(np.float32))
     return jnp.asarray(lap)
+
+
+def vertex_tangents(verts: jnp.ndarray, faces: jnp.ndarray,
+                    face_uv: jnp.ndarray) -> jnp.ndarray:
+    """UV-aligned per-vertex tangents, (B, V, 3), unit length.
+
+    Per-face tangent T solves [e1; e2] = [duv1; duv2] @ [T; Bt] for the
+    positional edges e and UV edges duv (the standard normal-mapping frame);
+    accumulation onto vertices reuses the incidence-matmul path of
+    vertex_normals.  Consumed by phong_shade's tangent-space normal maps
+    (NIMBLE appearance: PCA diffuse/normal/spec UV maps, SURVEY §2.1).
+    """
+    import jax
+
+    v0 = verts[:, faces[:, 0]]
+    e1 = verts[:, faces[:, 1]] - v0  # (B, F, 3)
+    e2 = verts[:, faces[:, 2]] - v0
+    duv1 = face_uv[:, 1] - face_uv[:, 0]  # (F, 2)
+    duv2 = face_uv[:, 2] - face_uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    r = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    t_face = (e1 * duv2[None, :, 1, None] - e2 * duv1[None, :, 1, None]) * r[None, :, None]
+
+    V = verts.shape[1]
+    F = faces.shape[0]
+    if 3 * F * V <= _ONEHOT_LIMIT:
+        inc = _corner_onehot(faces, V, t_face.dtype)
+        inc = inc.reshape(F, 3, V).sum(1)
+        v_t = jnp.einsum("fv,bfd->bvd", inc, t_face, precision=_EXACT)
+    else:
+        v_t = jnp.zeros_like(verts)
+        for k in range(3):
+            v_t = v_t.at[:, faces[:, k]].add(t_face)
+    return v_t * jax.lax.rsqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True) + 1e-12)

@@ -56,17 +56,23 @@ def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
 class PhongRenderer:
     """Stateless; construct with static faces, call with batched geometry.
 
-    Optional `vert_uv` (V, 2) enables UV-textured rendering: pass
-    `texture_image` (B, Ht, Wt, 3) to __call__ and albedo is bilinearly
-    sampled from it at interpolated UVs instead of taken from vert_colors —
-    the NIMBLE appearance path (reference models_res_nimble.py:132-142).
+    Optional UVs enable textured rendering (the NIMBLE appearance path,
+    reference models_res_nimble.py:132-142):
+      * `vert_uv` (V, 2): per-vertex chart (continuous, seamless meshes);
+      * `face_uv` (F, 3, 2): PER-FACE-CORNER atlas (OBJ `vt` semantics) —
+        required for seamed multi-island atlases, interpolated through the
+        packed-row static-corner channel (render/interpolate.py).
+    `texture_image` in __call__ is (B, Ht, Wt, 3) diffuse, or (B, Ht, Wt, 7)
+    diffuse + tangent-space normal map + specular weight — the full NIMBLE
+    appearance triple (diffuse/normal/spec PCA UV maps, SURVEY §2.1).
     """
 
     def __init__(self, faces, settings: RenderSettings = RenderSettings(),
-                 vert_uv=None):
+                 vert_uv=None, face_uv=None):
         self.faces = jnp.asarray(faces, jnp.int32)
         self.settings = settings
         self.vert_uv = None if vert_uv is None else jnp.asarray(vert_uv, jnp.float32)
+        self.face_uv = None if face_uv is None else jnp.asarray(face_uv, jnp.float32)
 
     def rasterize(self, verts_cam: jnp.ndarray, K: jnp.ndarray):
         """Returns (frag dict, verts_screen) at the supersampled resolution."""
@@ -100,20 +106,71 @@ class PhongRenderer:
         s = self.settings
         if light is None:
             light = DirectionalLight.default(verts_cam.shape[0], verts_cam.dtype)
-        use_uv = texture_image is not None and self.vert_uv is not None
-        if use_uv:
-            # interpolate UVs like any other attribute, then sample the map
-            b, v = verts_cam.shape[:2]
-            vert_colors = jnp.broadcast_to(self.vert_uv[None], (b, v, 2))
+        b, v = verts_cam.shape[:2]
+        have_uv = self.face_uv is not None or self.vert_uv is not None
+        use_uv = texture_image is not None and have_uv
+        tex_c = 0 if texture_image is None else texture_image.shape[-1]
+        with_maps = use_uv and tex_c >= 7  # diffuse(3)+normal(3)+spec(1)
+        # effective per-corner UV table (for tangents and the static channel)
+        face_uv = self.face_uv
+        if face_uv is None and self.vert_uv is not None:
+            face_uv = self.vert_uv[self.faces]  # (F, 3, 2)
+        # per-vertex channel plan: [vert_colors? | uv? | tangent? | normals | points]
+        uv_in_verts = use_uv and self.face_uv is None
+        nc = 0 if use_uv else vert_colors.shape[-1]
 
-        def _texels(pix_colors, texture_image):
+        def assemble(verts_cam, vert_colors):
+            parts = []
             if not use_uv:
-                return pix_colors
-            from hifihr_tpu.render.texture import sample_texture
+                parts.append(vert_colors)
+            elif uv_in_verts:
+                parts.append(jnp.broadcast_to(self.vert_uv[None], (b, v, 2)))
+            if with_maps:
+                from hifihr_tpu.render.mesh import vertex_tangents
 
-            return sample_texture(texture_image, pix_colors)
+                parts.append(vertex_tangents(verts_cam, self.faces, face_uv))
+            parts.append(vertex_normals(verts_cam, self.faces))
+            parts.append(verts_cam)
+            return jnp.concatenate(parts, axis=-1)
 
-        nc = vert_colors.shape[-1]  # 2 (uv) or 3 (albedo)
+        def shade_pix(pix, pix_uv, texture_image, cover):
+            """pix: interpolated per-vertex channels; pix_uv: (B,H,W,2) or
+            None (then UV lives at the head of pix)."""
+            off = 0
+            if not use_uv:
+                texels = pix[..., :nc]
+                off = nc
+                uv = None
+            else:
+                if pix_uv is None:
+                    uv = pix[..., 0:2]
+                    off = 2
+                else:
+                    uv = pix_uv
+            tangent = None
+            if with_maps:
+                tangent = pix[..., off : off + 3]
+                off += 3
+            pix_n = pix[..., off : off + 3]
+            pix_p = pix[..., off + 3 : off + 6]
+            normal_map = spec_map = None
+            if use_uv:
+                from hifihr_tpu.render.texture import sample_texture
+
+                sampled = sample_texture(texture_image, uv)
+                texels = sampled[..., :3]
+                if with_maps:
+                    normal_map = sampled[..., 3:6]
+                    spec_map = sampled[..., 6:7]
+            rgb = phong_shade(texels, pix_n, pix_p, light, materials,
+                              normal_map=normal_map, tangents=tangent,
+                              spec_map=spec_map)
+            rgb = rgb * cover[..., None]
+            chans = [rgb, cover[..., None]]
+            if s.with_depth:
+                covered = (cover > 0).astype(rgb.dtype)[..., None]
+                chans.append(pix_p[..., 2:3] * covered)
+            return jnp.concatenate(chans, axis=-1)
 
         if s.aa_mode == "msaa":
             K_base = K
@@ -123,21 +180,16 @@ class PhongRenderer:
                 from hifihr_tpu.render.interpolate import fragment_interpolate
 
                 verts_screen = raster_jax.project_to_screen(verts_cam, K_base)
-                normals = vertex_normals(verts_cam, self.faces)
-                attrs = jnp.concatenate([vert_colors, normals, verts_cam], axis=-1)
+                attrs = assemble(verts_cam, vert_colors)
+                static = face_uv if (use_uv and self.face_uv is not None) else None
                 pix, _, _ = fragment_interpolate(
-                    face_id, verts_screen, self.faces, attrs
+                    face_id, verts_screen, self.faces, attrs,
+                    corner_attrs_static=static,
                 )
-                texels = _texels(pix[..., 0:nc], texture_image)
-                pix_n, pix_p = pix[..., nc:nc + 3], pix[..., nc + 3:nc + 6]
-                rgb = phong_shade(texels, pix_n, pix_p, light, materials)
-                # coverage-weighted color: matches SSAA at silhouettes
-                rgb = rgb * coverage[..., None]
-                chans = [rgb, coverage[..., None]]
-                if s.with_depth:
-                    covered = (coverage > 0).astype(rgb.dtype)[..., None]
-                    chans.append(pix_p[..., 2:3] * covered)
-                return jnp.concatenate(chans, axis=-1)
+                pix_uv = pix[..., -2:] if static is not None else None
+                if static is not None:
+                    pix = pix[..., :-2]
+                return shade_pix(pix, pix_uv, texture_image, coverage)
 
             # base-res activations are 9x smaller than SSAA's: storing them
             # for backward is cheaper than rematerialising
@@ -148,20 +200,17 @@ class PhongRenderer:
         face_id, _ = self._select_faces(verts_cam, K_big, big)
 
         def shade(verts_cam, vert_colors, light, texture_image):
+            from hifihr_tpu.render.interpolate import interpolate_face_attribute
+
             verts_screen = raster_jax.project_to_screen(verts_cam, K_big)
             frag = barycentric_coords(face_id, verts_screen, self.faces)
-            normals = vertex_normals(verts_cam, self.faces)
             # one packed gather for all per-vertex attributes
-            attrs = jnp.concatenate([vert_colors, normals, verts_cam], axis=-1)
+            attrs = assemble(verts_cam, vert_colors)
             pix = interpolate_attribute(frag, attrs)
-            texels = _texels(pix[..., 0:nc], texture_image)
-            pix_normals, pix_points = pix[..., nc:nc + 3], pix[..., nc + 3:nc + 6]
-            rgb = phong_shade(texels, pix_normals, pix_points, light, materials)
-            rgb = rgb * frag["mask"][..., None]
-            chans = [rgb, frag["mask"][..., None]]
-            if s.with_depth:
-                chans.append(pix_points[..., 2:3] * frag["mask"][..., None])
-            rgba = jnp.concatenate(chans, axis=-1)
+            pix_uv = None
+            if use_uv and self.face_uv is not None:
+                pix_uv = interpolate_face_attribute(frag, face_id, face_uv)
+            rgba = shade_pix(pix, pix_uv, texture_image, frag["mask"])
             return _avg_pool(rgba, s.aa_factor)
 
         return jax.checkpoint(shade)(verts_cam, vert_colors, light, texture_image)

@@ -53,13 +53,30 @@ def phong_shade(
     points: jnp.ndarray,  # (B, H, W, 3) camera-space surface points
     light: DirectionalLight,
     materials: Materials = Materials(),
+    normal_map: jnp.ndarray | None = None,  # (B, H, W, 3) tangent-space, [0,1]
+    tangents: jnp.ndarray | None = None,  # (B, H, W, 3) interpolated tangents
+    spec_map: jnp.ndarray | None = None,  # (B, H, W, 1) per-pixel spec weight
 ) -> jnp.ndarray:
+    """Phong shading; optional per-pixel appearance maps (NIMBLE's PCA
+    appearance is diffuse + normal + specular UV maps, SURVEY §2.1):
+    `normal_map` perturbs the geometric normal in the interpolated (T, B, N)
+    tangent frame, `spec_map` scales the specular term per pixel."""
     # eps inside the sqrt keeps gradients finite where the vector is exactly
     # zero (uncovered pixels interpolate to zero normals/points)
     def safe_normalize(x, eps=1e-12):
         return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
     n = safe_normalize(normals)
+    if normal_map is not None and tangents is not None:
+        # Gram-Schmidt the interpolated tangent against n, build the
+        # bitangent, decode the map from [0,1] -> [-1,1]
+        t = tangents - jnp.sum(tangents * n, axis=-1, keepdims=True) * n
+        t = safe_normalize(t)
+        bt = jnp.cross(n, t)
+        nm = normal_map * 2.0 - 1.0
+        n = safe_normalize(
+            t * nm[..., 0:1] + bt * nm[..., 1:2] + n * nm[..., 2:3]
+        )
     l = safe_normalize(light.direction)[:, None, None, :]
     ndl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
 
@@ -81,4 +98,6 @@ def phong_shade(
         * light.specular_color[:, None, None, :]
         * jnp.power(cos_alpha, materials.shininess)
     )
+    if spec_map is not None:
+        spec = spec * spec_map
     return texels * (amb + dif) + spec

@@ -101,12 +101,19 @@ def write_png(path: str, img: np.ndarray) -> str:
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
              vert_colors: np.ndarray | None = None,
              vert_uv: np.ndarray | None = None,
-             texture_image: np.ndarray | None = None):
+             texture_image: np.ndarray | None = None,
+             face_uv: np.ndarray | None = None):
     """Write an OBJ: per-vertex colors, or a UV-textured mesh with MTL + PNG
-    when (vert_uv, texture_image) are given — the counterpart of the
-    reference's save_textured_nimble (utils/visualize_util.py:16,27)."""
+    when (vert_uv|face_uv, texture_image) are given — the counterpart of the
+    reference's save_textured_nimble (utils/visualize_util.py:16,27).
+
+    `face_uv` (F, 3, 2) writes per-face-corner `vt` records (seamed atlas —
+    standard OBJ f v/vt indexing with separate vt indices per corner).
+    A texture image with >3 channels (NIMBLE diffuse+normal+spec stack)
+    exports diffuse to map_Kd, the normal map to <stem>_normal.png (map_Bump)
+    and the specular weight to <stem>_spec.png (map_Ks)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    textured = vert_uv is not None and texture_image is not None
+    textured = (vert_uv is not None or face_uv is not None) and texture_image is not None
     stem = os.path.splitext(path)[0]
     with open(path, "w") as f:
         if textured:
@@ -117,7 +124,16 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
                 f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
             else:
                 f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        if textured:
+        if textured and face_uv is not None:
+            fuv = np.asarray(face_uv).reshape(-1, 2)  # corner k of face i -> 3i+k
+            for u, vv in fuv:
+                f.write(f"vt {u:.6f} {1.0 - vv:.6f}\n")
+            f.write("usemtl hand\n")
+            for i, tri in enumerate(np.asarray(faces)):
+                a, b, c = tri + 1
+                ta, tb, tc = 3 * i + 1, 3 * i + 2, 3 * i + 3
+                f.write(f"f {a}/{ta} {b}/{tb} {c}/{tc}\n")
+        elif textured:
             for u, vv in np.asarray(vert_uv):
                 # OBJ vt origin is bottom-left; sampler origin is top-left
                 f.write(f"vt {u:.6f} {1.0 - vv:.6f}\n")
@@ -129,10 +145,18 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
             for tri in np.asarray(faces):
                 f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")
     if textured:
-        tex_path = write_png(stem + ".png", np.asarray(texture_image))
+        tex = np.asarray(texture_image)
+        tex_path = write_png(stem + ".png", tex[..., :3])
+        lines = ["newmtl hand", "Ka 1.0 1.0 1.0", "Kd 1.0 1.0 1.0",
+                 f"map_Kd {os.path.basename(tex_path)}"]
+        if tex.shape[-1] >= 7:
+            n_path = write_png(stem + "_normal.png", tex[..., 3:6])
+            s_path = write_png(stem + "_spec.png",
+                               np.repeat(tex[..., 6:7], 3, axis=-1))
+            lines += [f"map_Bump {os.path.basename(n_path)}",
+                      f"map_Ks {os.path.basename(s_path)}"]
         with open(stem + ".mtl", "w") as f:
-            f.write("newmtl hand\nKa 1.0 1.0 1.0\nKd 1.0 1.0 1.0\n"
-                    f"map_Kd {os.path.basename(tex_path)}\n")
+            f.write("\n".join(lines) + "\n")
     return path
 
 

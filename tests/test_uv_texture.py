@@ -57,7 +57,8 @@ def test_nimble_layer_emits_uv_texture_image():
         "texture_params": jnp.asarray(np.random.RandomState(0).randn(B, 10), jnp.float32),
     }
     out = layer(params)
-    assert out["textures"].shape == (B, 64, 64, 3)
+    # full appearance stack: diffuse(3) + tangent-space normal(3) + spec(1)
+    assert out["textures"].shape == (B, 64, 64, 7)
     tex = np.asarray(out["textures"])
     assert (tex >= 0).all() and (tex <= 1).all()
     # PCA coefficients actually modulate the map
@@ -154,3 +155,109 @@ def test_save_textured_obj(tmp_path):
     assert "map_Kd hand.png" in mtl
     png = open(str(tmp_path / "hand.png"), "rb").read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n" and b"IEND" in png
+
+
+def _quad_scene():
+    from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+    verts = jnp.asarray([[[-0.05, -0.05, 0.3], [0.05, -0.05, 0.3],
+                          [0.0, 0.06, 0.31], [0.0, -0.01, 0.35]]], jnp.float32)
+    # winding chosen so normals face the camera (-z): the default light
+    # direction is (0, 0, -1), so diffuse/spec terms actually fire and
+    # normal-map perturbations are observable (ambient alone is n-invariant)
+    faces = np.asarray([[0, 2, 1], [0, 1, 3], [1, 2, 3], [2, 0, 3]], np.int32)
+    S = 16
+    K = jnp.asarray([[[S * 2.0, 0, S / 2], [0, S * 2.0, S / 2], [0, 0, 1]]])
+    settings = RenderSettings(S, 2, backend="jax", face_chunk=4, aa_mode="msaa")
+    return verts, faces, K, settings, PhongRenderer, S
+
+
+def test_normal_and_spec_maps_change_shading():
+    """The 7-channel appearance stack (diffuse+normal+spec) must actually
+    modulate shading: perturbing the tangent-space normal map or raising the
+    spec weight changes pixels (VERDICT r2 task #7)."""
+    verts, faces, K, settings, PhongRenderer, S = _quad_scene()
+    uv = jnp.asarray([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9], [0.5, 0.5]])
+    r = PhongRenderer(faces, settings, vert_uv=uv)
+    diffuse = jnp.broadcast_to(jnp.asarray([0.6, 0.4, 0.3]), (1, 8, 8, 3))
+    flat_n = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]), (1, 8, 8, 3))
+    zero_s = jnp.zeros((1, 8, 8, 1))
+    one_s = jnp.ones((1, 8, 8, 1))
+    base = np.asarray(r(verts, jnp.zeros((1, 4, 2)), K,
+                        texture_image=jnp.concatenate([diffuse, flat_n, one_s], -1)))
+
+    # flat normal + unit spec weight must match the plain 3-channel render
+    # (spec_map scales the material's own specular term)
+    plain = np.asarray(r(verts, jnp.zeros((1, 4, 2)), K, texture_image=diffuse))
+    np.testing.assert_allclose(base, plain, atol=2e-3)
+
+    # perturbed normals change shading
+    rng = np.random.RandomState(0)
+    bump = jnp.asarray(np.clip(
+        rng.rand(1, 8, 8, 3) * np.asarray([1.0, 1.0, 0.0]) +
+        np.asarray([0.0, 0.0, 1.0]), 0, 1), jnp.float32)
+    bumped = np.asarray(r(verts, jnp.zeros((1, 4, 2)), K,
+                          texture_image=jnp.concatenate([diffuse, bump, one_s], -1)))
+    assert np.abs(bumped - base)[..., :3].max() > 1e-3
+
+    # zeroing the spec weight removes the specular highlight
+    matte = np.asarray(r(verts, jnp.zeros((1, 4, 2)), K,
+                         texture_image=jnp.concatenate(
+                             [diffuse, flat_n, zero_s], -1)))
+    assert (base[..., :3] - matte[..., :3]).max() > 1e-4
+
+
+def test_face_uv_seams_no_bleed():
+    """Per-corner UVs: two faces sharing an edge but mapped to DISJOINT
+    texture tiles must each sample their own tile (impossible with per-vertex
+    UVs — the seam would interpolate across the atlas)."""
+    _, _, K, settings, PhongRenderer, S = _quad_scene()
+    # flat two-triangle quad: BOTH faces visible, sharing the diagonal edge
+    verts = jnp.asarray([[[-0.05, -0.05, 0.3], [0.05, -0.05, 0.3],
+                          [-0.05, 0.05, 0.3], [0.05, 0.05, 0.3]]], jnp.float32)
+    faces = np.asarray([[0, 1, 2], [1, 3, 2]], np.int32)
+    # face 0 maps into the left (red) tile, face 1 into the right (green)
+    # tile — the shared diagonal is a true atlas seam
+    base_uv = np.asarray([[0.1, 0.2], [0.4, 0.2], [0.25, 0.8]], np.float32)
+    face_uv = np.stack([base_uv] * 2)
+    face_uv[1] = base_uv + np.asarray([0.5, 0.0], np.float32)
+    r = PhongRenderer(faces, settings, face_uv=jnp.asarray(face_uv))
+    tex = np.zeros((1, 16, 16, 3), np.float32)
+    tex[:, :, :8] = [1.0, 0.0, 0.0]   # left half red
+    tex[:, :, 8:] = [0.0, 1.0, 0.0]   # right half green
+    img = np.asarray(r(verts, jnp.zeros((1, 4, 2)), K,
+                       texture_image=jnp.asarray(tex)))
+    rgb = img[0, ..., :3]
+    cover = img[0, ..., 3] > 0.99
+    # covered interior pixels must be (shaded) red or green, never yellow-ish
+    # blends of both tiles
+    red = rgb[..., 0] > rgb[..., 1] * 2
+    green = rgb[..., 1] > rgb[..., 0] * 2
+    assert (red | green)[cover].all()
+    assert red[cover].any() and green[cover].any()
+
+
+def test_save_obj_face_uv_roundtrip(tmp_path):
+    """OBJ export with a seamed per-corner atlas + 7-channel appearance:
+    v/vt counts, f v/vt indexing, and the three map files."""
+    import os
+
+    from hifihr_tpu.utils.visualize import save_obj
+
+    verts = np.random.RandomState(0).rand(4, 3).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [0, 1, 3]], np.int32)
+    face_uv = np.random.RandomState(1).rand(2, 3, 2).astype(np.float32)
+    tex = np.random.RandomState(2).rand(16, 16, 7).astype(np.float32)
+    path = save_obj(str(tmp_path / "hand.obj"), verts, faces,
+                    face_uv=face_uv, texture_image=tex)
+    lines = open(path).read().splitlines()
+    assert sum(1 for l in lines if l.startswith("v ")) == 4
+    vts = [l for l in lines if l.startswith("vt ")]
+    assert len(vts) == 6  # one per face corner
+    fline = [l for l in lines if l.startswith("f ")][1]
+    assert fline.split() == ["f", "1/4", "2/5", "4/6"]
+    # vt values match (with the v-flip)
+    u, v = map(float, vts[0].split()[1:])
+    np.testing.assert_allclose([u, 1.0 - v], face_uv[0, 0], atol=1e-5)
+    for suffix in (".png", "_normal.png", "_spec.png", ".mtl"):
+        assert os.path.exists(str(tmp_path / ("hand" + suffix)))
