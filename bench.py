@@ -47,7 +47,8 @@ LOSSES = (
 )
 
 
-def _measure(aa_mode: str, batch_size: int, steps: int):
+def _measure(aa_mode: str, batch_size: int, steps: int,
+             pretrain: str = "res50", hand_model: str = "mano"):
     from __graft_entry__ import _fake_batch
     from hifihr_tpu.config import Config
     from hifihr_tpu.losses.stack import LossComputer
@@ -56,8 +57,8 @@ def _measure(aa_mode: str, batch_size: int, steps: int):
     from hifihr_tpu.training.train_state import create_train_state
 
     cfg = Config(
-        pretrain="res50",
-        hand_model="mano",
+        pretrain=pretrain,
+        hand_model=hand_model,
         render=True,
         light_estimation=True,
         image_size=IMAGE_SIZE,
@@ -185,8 +186,35 @@ def main():
         "batch": BATCH,
         "aa": "msaa 3x3 (alpha-exact vs reference pooling; interior shading within 0.02)",
     }
+    # measured/derived baseline interval (tools/bound_baseline.py): an
+    # auditable UPPER-bound range for the reference on V100 (FLOP-limited;
+    # eager-mode kernel-launch overhead of the ~24-branch python loss stack
+    # and DataParallel ignored, so the true reference is slower).  The
+    # conservative ratio divides by the bound's top end.
+    bound_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_BOUND.json")
+    if os.path.exists(bound_path):
+        with open(bound_path) as f:
+            bound = json.load(f)
+        lo, hi = bound["ref_gpu_images_per_sec_bounds"]
+        record["baseline_bounds_images_per_sec"] = [lo, hi]
+        record["vs_baseline_conservative"] = round(ips / hi, 2)
+        record["baseline_provenance"] = (
+            "estimate 30 img/s (per-op, see docstring); FLOP-derived "
+            f"upper-bound range [{lo}, {hi}] img/s from tools/"
+            "bound_baseline.py (XLA-counted step FLOPs + V100 spec + "
+            "30-60% util + 10-60 ms rasterizer window; eager overhead "
+            "ignored, so the true reference sits below this range)"
+        )
     if os.environ.get("BENCH_REAL_DATA", "1") != "0":
         _extra(record, "train_images_per_sec_real_data", _measure_real_data)
+    # the config bank's majority cases (VERDICT r2 task #3): ~20/37
+    # encoder-bearing configs run effb3; NIMBLE is the paper's flagship model
+    if os.environ.get("BENCH_VARIANTS", "1") != "0":
+        _extra(record, "effb3_images_per_sec",
+               lambda: _measure("msaa", BATCH, 10, pretrain="effb3"))
+        _extra(record, "nimble_images_per_sec",
+               lambda: _measure("msaa", 32, 10, hand_model="nimble"))
     if os.environ.get("BENCH_SSAA", "1") != "0":
         _extra(record, "ssaa_images_per_sec", lambda: _measure("ssaa", 8, 5))
     print(json.dumps(record))

@@ -34,7 +34,7 @@ def _to_device_batch(batch: Mapping, mesh, pad_to: int | None = None):
     rows) so a ragged final eval batch neither crashes pjit, silently drops
     samples (VERDICT r1 weak #7), nor triggers a second compile of the eval
     program for its one-off shape.  Returns (device_batch, n_valid)."""
-    arrs = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+    arrs = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
     n = arrs["imgs"].shape[0] if "imgs" in arrs else next(
         v.shape[0] for v in arrs.values() if v.ndim
     )
@@ -44,11 +44,15 @@ def _to_device_batch(batch: Mapping, mesh, pad_to: int | None = None):
     pad = target - n
     if pad:
         arrs = {
-            k: (jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)])
+            k: (np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                 if v.ndim and v.shape[0] == n else v)
             for k, v in arrs.items()
         }
-    return shard_batch(arrs, mesh), n
+    from hifihr_tpu.data.pipeline import _to_device
+
+    dev = _to_device({**arrs, "dataset": batch.get("dataset", "")}, mesh)
+    dev.pop("dataset", None)
+    return dev, n
 
 
 class Trainer:
