@@ -60,12 +60,12 @@ class HiFiHR(nn.Module):
         elif cfg.pretrain == "effb3":
             from hifihr_tpu.networks.efficientnet import EffNetEncoder
 
-            self.encoder = EffNetEncoder()
+            self.encoder = EffNetEncoder(dtype=enc_dtype)
             feat_dim = 1536
         elif cfg.pretrain == "hr18sv2":
             from hifihr_tpu.networks.hrnet import HRNetEncoder
 
-            self.encoder = HRNetEncoder()
+            self.encoder = HRNetEncoder(dtype=enc_dtype)
             feat_dim = 1024
         else:
             raise ValueError(cfg.pretrain)

@@ -56,29 +56,35 @@ class MBConv(nn.Module):
     stride: int
     kernel: int
     se_ratio: float = 0.25
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
-                                         momentum=0.99, epsilon=1e-3, name=name)
+                                         momentum=0.99, epsilon=1e-3,
+                                         dtype=self.dtype, name=name)
         inp = x
         c_mid = self.in_ch * self.expand
         if self.expand != 1:
-            x = nn.Conv(c_mid, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.Conv(c_mid, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(x)
             x = nn.swish(norm("bn0")(x))
         x = nn.Conv(
             c_mid, (self.kernel, self.kernel), (self.stride, self.stride),
             padding="SAME", feature_group_count=c_mid, use_bias=False,
-            name="depthwise_conv",
+            dtype=self.dtype, name="depthwise_conv",
         )(x)
         x = nn.swish(norm("bn1")(x))
         # squeeze-excite
         se_ch = max(1, int(self.in_ch * self.se_ratio))
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.swish(nn.Conv(se_ch, (1, 1), name="se_reduce")(s))
-        s = nn.sigmoid(nn.Conv(c_mid, (1, 1), name="se_expand")(s))
+        s = nn.swish(nn.Conv(se_ch, (1, 1), dtype=self.dtype,
+                             name="se_reduce")(s))
+        s = nn.sigmoid(nn.Conv(c_mid, (1, 1), dtype=self.dtype,
+                               name="se_expand")(s))
         x = x * s
-        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="project_conv")(x)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="project_conv")(x)
         x = norm("bn2")(x)
         if self.stride == 1 and self.in_ch == self.out_ch:
             x = x + inp
@@ -88,19 +94,22 @@ class MBConv(nn.Module):
 class EfficientNet(nn.Module):
     variant: str = "effb3"
     low_block_idx: int = 4  # flattened block whose output is the low feature
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         width, depth = _PARAMS[self.variant]
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
-                                         momentum=0.99, epsilon=1e-3, name=name)
+                                         momentum=0.99, epsilon=1e-3,
+                                         dtype=self.dtype, name=name)
         c_stem = _round_filters(32, width)
         # 3x3/s2 "same"-padded stem in space-to-depth form (C_in=3 starves
         # the MXU lanes otherwise; see resnet.StemConvS2D).  SAME padding for
         # stride 2 at even sizes = (0, 1) -> pad_lo 0.
         from hifihr_tpu.networks.resnet import StemConvS2D
 
-        x = StemConvS2D(c_stem, kernel_size=3, pad_lo=0, name="conv_stem")(x)
+        x = StemConvS2D(c_stem, kernel_size=3, pad_lo=0, dtype=self.dtype,
+                        name="conv_stem")(x)
         x = nn.swish(norm("bn_stem")(x))
 
         low = None
@@ -110,13 +119,14 @@ class EfficientNet(nn.Module):
             out_ch = _round_filters(ch, width)
             for r in range(_round_repeats(reps, depth)):
                 x = MBConv(in_ch, out_ch, expand, stride if r == 0 else 1,
-                           kernel, name=f"block{idx}")(x, train)
+                           kernel, dtype=self.dtype, name=f"block{idx}")(x, train)
                 in_ch = out_ch
                 if idx == self.low_block_idx:
                     low = x
                 idx += 1
         c_head = _round_filters(1280, width)
-        x = nn.Conv(c_head, (1, 1), use_bias=False, name="conv_head")(x)
+        x = nn.Conv(c_head, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_head")(x)
         x = nn.swish(norm("bn_head")(x))
         return low, x
 
@@ -125,9 +135,12 @@ class EffNetEncoder(nn.Module):
     """imagenet-normalise -> EfficientNet -> (low [B,56,56,32], feat [B,1536])."""
 
     variant: str = "effb3"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, train: bool = False):
-        x = normalize_imagenet(images)
-        low, feat = EfficientNet(self.variant, name="backbone")(x, train)
-        return low, jnp.mean(feat, axis=(1, 2))
+        x = normalize_imagenet(images).astype(self.dtype)
+        low, feat = EfficientNet(self.variant, dtype=self.dtype,
+                                 name="backbone")(x, train)
+        feat = jnp.mean(feat, axis=(1, 2), dtype=jnp.float32)
+        return low, feat
