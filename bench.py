@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
@@ -167,7 +169,27 @@ def _measure_real_data(batch_size: int = BATCH, epochs: int = 2):
     return ips
 
 
+# wall-clock budget: cold compiles on the remote-compile TPU path run many
+# minutes per program, and the driver bounds the whole bench run — skip
+# companion numbers rather than lose the record to an external kill.
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+_RECORD: dict = {}
+
+
+def _emit_and_exit(signum, frame):  # noqa: ARG001 — signal handler signature
+    """SIGTERM/SIGINT (e.g. the driver's `timeout`) → emit whatever has been
+    measured so far as the one JSON line instead of dying silently."""
+    if _RECORD.get("value") is not None:
+        _RECORD["truncated_by_signal"] = signum
+        print(json.dumps(_RECORD), flush=True)
+    os._exit(0 if _RECORD.get("value") is not None else 1)
+
+
 def _extra(record, key, fn):
+    if time.time() - _T0 > BUDGET_S:
+        record[key] = "skipped: bench wall-clock budget exhausted"
+        return
     try:
         record[key] = round(fn(), 2)
     except Exception as exc:  # noqa: BLE001 — companion numbers only
@@ -175,8 +197,11 @@ def _extra(record, key, fn):
 
 
 def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
     ips = _measure("msaa", BATCH, STEPS)
-    record = {
+    record = _RECORD
+    record.update({
         "metric": "train_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
@@ -185,7 +210,7 @@ def main():
         "losses": "+".join(LOSSES) + "+texture+mrgb+ssim (presence-gated)",
         "batch": BATCH,
         "aa": "msaa 3x3 (alpha-exact vs reference pooling; interior shading within 0.02)",
-    }
+    })
     # measured/derived baseline interval (tools/bound_baseline.py): an
     # auditable UPPER-bound range for the reference on V100 (FLOP-limited;
     # eager-mode kernel-launch overhead of the ~24-branch python loss stack
