@@ -123,3 +123,56 @@ def test_uniform_laplacian_flat():
     lap = L @ verts
     # vertex 1 neighbors: 0,2,3 -> mean (5/3) - 1 = 2/3
     np.testing.assert_allclose(lap[1, 0], 5 / 3 - 1, atol=1e-6)
+
+
+def test_tiny_valid_face_attrs_exact():
+    """ADVICE r2: a tiny-but-valid face (~1 px) whose pixel-center
+    barycentrics stay within the sliver-guard window must interpolate
+    attributes EXACTLY (the clip(-4, 5) guard must be identity here), even
+    though the face is close to the guard's design regime."""
+    K = _ortho_K(S)
+    # ~1.3 px triangle centered on pixel (16, 16)'s center at z=1
+    e = 1.3 / S
+    verts = jnp.asarray(
+        [[[0.0 + 0.5 / S, 0.0 + 0.5 / S, 1.0],
+          [e + 0.5 / S, 0.0 + 0.5 / S, 1.0],
+          [0.0 + 0.5 / S, e + 0.5 / S, 1.0]]]
+    )
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    vs = project_to_screen(verts, K)
+    fid, _ = rasterize_face_id(vs, faces, S, chunk=4)
+    cov = np.asarray(fid[0]) >= 0
+    assert cov.sum() >= 1  # the face does win at least one pixel center
+    frag = barycentric_coords(fid, vs, faces)
+    bary = np.asarray(frag["bary"][0])[cov]
+    # pixel centers inside the face -> genuine convex weights, guard inert
+    assert (bary > -1e-5).all() and (bary < 1 + 1e-5).all()
+    np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-5)
+    pts = np.asarray(interpolate_attribute(frag, verts))[0][cov]
+    K_np = np.asarray(K[0])
+    ys, xs = np.nonzero(cov)
+    for (y, x), p in zip(zip(ys, xs), pts):
+        u = K_np[0, 0] * p[0] / p[2] + K_np[0, 2]
+        v = K_np[1, 1] * p[1] / p[2] + K_np[1, 2]
+        assert abs(u - (x + 0.5)) < 1e-3 and abs(v - (y + 0.5)) < 1e-3
+
+
+def test_subpixel_sliver_face_bounded():
+    """A sub-pixel sliver that wins a pixel whose center lies OUTSIDE it must
+    produce bounded interpolated attributes (clip window [-4, 5]): attrs stay
+    within 6x the corner-attr range instead of exploding as area -> 0."""
+    K = _ortho_K(S)
+    # degenerate-thin sliver: 0.02 px tall, 3 px wide, crossing pixel row 16
+    verts = jnp.asarray(
+        [[[-1.5 / S, 0.21 / S, 1.0],
+          [1.5 / S, 0.23 / S, 1.0],
+          [-1.5 / S, 0.225 / S, 1.0]]]
+    )
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    vs = project_to_screen(verts, K)
+    fid, _ = rasterize_face_id(vs, faces, S, chunk=4)
+    frag = barycentric_coords(fid, vs, faces)
+    attrs = jnp.asarray([[[0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.5, 1.0, 1.0]]])
+    out = np.asarray(interpolate_attribute(frag, attrs))
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 6.0  # |clip| * max|attr| bound, not unbounded
