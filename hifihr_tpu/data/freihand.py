@@ -96,6 +96,9 @@ class FreiHand:
         prefix = "evaluation" if split == "evaluation" else "training"
         self.img_dir = os.path.join(base_path, prefix, "rgb")
         self.mask_dir = os.path.join(base_path, prefix, "mask")
+        # CRF-refined masks live beside the dataset (reference
+        # data/dataset.py:1433-1434, 1494-1495: CRFmask/{training,evaluation})
+        self.crfmask_dir = os.path.join(base_path, "CRFmask", prefix)
         self.K_list = _json_load(os.path.join(base_path, f"{prefix}_K.json"))
         self.scale_list = _json_load(os.path.join(base_path, f"{prefix}_scale.json"))
         if split != "evaluation":
@@ -146,6 +149,18 @@ class FreiHand:
         m = m >= 128
         return (m.astype(np.uint8) * 255) if as_u8 else m.astype(np.float32)
 
+    def get_crfmask(self, idx: int) -> np.ndarray:
+        """CRF-refined mask for the base frame (idx % db_size, reference
+        data/dataset.py:214-220) as uint8 {0, 255}, binarized at load (the
+        reference's round(to_tensor(mask)) thresholds at 127.5 too)."""
+        m = _load_image(
+            os.path.join(self.crfmask_dir, "%08d.png" % (idx % self.db_size)),
+            as_u8=True,
+        )
+        if m.ndim == 3:
+            m = m[..., 0]
+        return (m >= 128).astype(np.uint8) * 255
+
     # -- sample assembly -----------------------------------------------------
     def get_sample(self, i: int) -> dict:
         idx = int(self.indices[i])
@@ -189,6 +204,11 @@ class FreiHand:
             mask = self.get_mask(idx, as_u8=True)
             if "masks" in q:
                 sample["segms_gt"] = (mask > 0).astype(np.uint8)  # {0,1} u8
+        crfmask = None  # uint8 {0, 255} (reference data/dataset.py:214-220)
+        if "CRFmasks" in q or "trans_CRFmasks" in q:
+            crfmask = self.get_crfmask(idx)
+            if "CRFmasks" in q:
+                sample["CRFmasks"] = (crfmask > 0).astype(np.uint8)  # {0,1}
 
         # texture confidence (traineval_util.py:60-66): zero when any keypoint
         # conf <= 0.1, else mean conf; color versions beyond the first get a
@@ -226,6 +246,12 @@ class FreiHand:
             if "trans_masks" in q and mask is not None:
                 sample["segms_gt"] = (
                     crops.transform_img(mask, affinetrans, [224, 224],
+                                        out_u8=True) >= 128
+                ).astype(np.uint8)
+            if "trans_CRFmasks" in q and crfmask is not None:
+                # reference data/dataset.py:261-265: warp, then re-round
+                sample["CRFmasks"] = (
+                    crops.transform_img(crfmask, affinetrans, [224, 224],
                                         out_u8=True) >= 128
                 ).astype(np.uint8)
             if "trans_open_2dj" in q and "open_2dj" in sample:

@@ -94,6 +94,11 @@ class ManoLayer:
         self.center_idx = center_idx
 
         f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        # host copies for static precomputations (e.g. the renderer's spatial
+        # face ordering): inside a traced flax setup the jnp attributes can be
+        # tracers, which np-level geometry code must not touch
+        self.v_template_np = np.asarray(m.v_template, np.float32)
+        self.faces_np = np.asarray(m.faces, np.int32)
         self.v_template = f32(m.v_template)
         self.shapedirs = f32(m.shapedirs)
         self.posedirs = f32(m.posedirs.reshape(778 * 3, 135))

@@ -85,6 +85,12 @@ class NimbleLayer:
         self.shape_ncomp = shape_ncomp
         self.pose_ncomp = min(pose_ncomp, m.pose_basis.shape[0])
         self.tex_ncomp = tex_ncomp
+        # host copies for static precomputations (renderer face ordering)
+        self.v_template_np = np.asarray(m.v_template, np.float32)
+        self.faces_np = np.asarray(m.faces, np.int32)
+        self.face_uv_np = (
+            np.asarray(m.face_uv, np.float32) if m.face_uv is not None else None
+        )
         self.v_template = f32(m.v_template)
         self.skin_faces = jnp.asarray(m.faces, jnp.int32)
         self.shapedirs = f32(m.shapedirs[..., :shape_ncomp])

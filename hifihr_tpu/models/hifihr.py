@@ -198,26 +198,31 @@ class HiFiHR(nn.Module):
             texture_image = None
             vert_uv = None
             face_uv = None
+            # faces/templates as HOST arrays: the renderer's spatial face
+            # ordering (morton_face_order) is a static precomputation and the
+            # layer's jnp attributes can be tracers inside a traced setup
             if cfg.hand_model == "mano":
                 render_verts = outputs["mano_verts"] + root_xyz
                 albedo = self._vertex_albedo(b)
-                faces = self.mano.faces
+                faces = self.mano.faces_np
+                sort_template = self.mano.v_template_np
             else:
                 render_verts = outputs["skin_verts"] - render_root + root_xyz
                 albedo = outputs["skin_albedo"]
-                faces = self.nimble.skin_faces
+                faces = self.nimble.faces_np
+                sort_template = self.nimble.v_template_np
                 # NIMBLE appearance: PCA UV diffuse(+normal+spec) maps
                 # sampled per-fragment through the seamed per-corner atlas
                 # (reference models_res_nimble.py:132-142)
                 if self.nimble.vert_uv is not None:
                     vert_uv = self.nimble.vert_uv
-                    face_uv = self.nimble.face_uv
+                    face_uv = self.nimble.face_uv_np
                     texture_image = outputs["textures"]
             renderer = PhongRenderer(
                 faces,
                 RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor,
                                aa_mode=cfg.aa_mode, with_depth=True),
-                vert_uv=vert_uv, face_uv=face_uv,
+                vert_uv=vert_uv, face_uv=face_uv, sort_template=sort_template,
             )
             if light_params is not None:
                 light = DirectionalLight.from_estimator(

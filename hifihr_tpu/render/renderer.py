@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from hifihr_tpu.render import raster_jax
 from hifihr_tpu.render.interpolate import barycentric_coords, interpolate_attribute
@@ -41,6 +42,35 @@ class RenderSettings(NamedTuple):
     # Background depth is 0 (the interpolation already computes pix_p, so
     # this is free).
     with_depth: bool = False
+
+
+def morton_face_order(template_verts, faces) -> np.ndarray:
+    """Spatial (Morton/Z-curve) face permutation from template centroids.
+
+    The MSAA rasteriser bins faces in PACKED ROWS of 8 (raster_msaa.py); a
+    row's bin bbox is the union of its 8 faces' bboxes, so spatially
+    incoherent face order inflates every tile's bin list.  Measured on the
+    NIMBLE skin mesh (F=11926): native order gives mean row spans ~35% of
+    the hand's extent — nearly every row lands in every tile — while Morton
+    order over template centroids gives ~4.5%.  Articulation preserves
+    mesh-locality, so the template-space order stays tight for posed hands.
+    """
+    template_verts = np.asarray(template_verts, np.float64)
+    faces = np.asarray(faces)
+    cent = template_verts[faces].mean(axis=1)
+    q = ((cent - cent.min(0)) / (np.ptp(cent, axis=0) + 1e-9) * 1023).astype(
+        np.int64
+    )
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
 
 
 def _scale_intrinsics(K: jnp.ndarray, s: float) -> jnp.ndarray:
@@ -68,7 +98,15 @@ class PhongRenderer:
     """
 
     def __init__(self, faces, settings: RenderSettings = RenderSettings(),
-                 vert_uv=None, face_uv=None):
+                 vert_uv=None, face_uv=None, sort_template=None):
+        if sort_template is not None:
+            # spatial face reorder for raster bin occupancy (morton_face_order
+            # docstring); face ids are renderer-internal, so per-face data
+            # (face_uv) is permuted alongside and nothing outside changes
+            order = morton_face_order(sort_template, faces)
+            faces = np.asarray(faces)[order]
+            if face_uv is not None:
+                face_uv = np.asarray(face_uv)[order]
         self.faces = jnp.asarray(faces, jnp.int32)
         self.settings = settings
         self.vert_uv = None if vert_uv is None else jnp.asarray(vert_uv, jnp.float32)

@@ -106,9 +106,12 @@ class Trainer:
         self._eval_steps = {}
         self.start_epoch = 0
         if config.pretrain_model:
-            self.state, self.start_epoch = CheckpointManager(
+            self.state, saved_epoch = CheckpointManager(
                 config.pretrain_model, config.save_mode
             ).restore(self.state)
+            # the stored epoch is the last FINISHED one; resume at the next
+            # (reference current_epoch offset, train_hrnet.py:452)
+            self.start_epoch = saved_epoch + 1
         # module-targeted warm starts (reference train_utils.py:96-111)
         if config.pretrain_texture_model:
             self.state = CheckpointManager(
@@ -267,9 +270,9 @@ class Trainer:
             out = self._step_for(dat_name, train=False)(self.state, dev_batch)
             n_valids.append(n_valid)
             if self.config.test_refinement and self.config.hand_model == "mano":
-                xyz_refined.append(np.asarray(
-                    self._refine(out, dev_batch)[0][:n_valid]
-                ))
+                # stays a device array; read back once at epoch end with the
+                # other accumulators (no per-batch host sync on this path)
+                xyz_refined.append(self._refine(out, dev_batch)[0][:n_valid])
             if i == 0:  # demo dump (reference displadic every demo_freq)
                 trim = lambda t: {
                     k: np.asarray(v[:n_valid] if hasattr(v, "ndim") and v.ndim else v)
@@ -332,7 +335,7 @@ class Trainer:
             result["pa_epe_median_cm"] = epe_med * 100
             result["pck_auc"] = auc
             if xyz_refined:
-                refined = np.concatenate(xyz_refined)[:n]
+                refined = np.concatenate([np.asarray(x) for x in xyz_refined])[:n]
                 result["pa_mpjpe_refined_cm"] = (
                     float(M.pa_mpjpe(jnp.asarray(refined), gt_xyz)) * 100
                 )

@@ -30,11 +30,42 @@ def freihand_root(tmp_path):
         _save_img(str(root / "training" / "rgb" / ("%08d.jpg" % i)), rng.rand(224, 224, 3))
         _save_img(str(root / "training" / "mask" / ("%08d.jpg" % i)),
                   (rng.rand(224, 224) > 0.5).astype(np.float64))
+    (root / "CRFmask" / "training").mkdir(parents=True)
+    for i in range(n):
+        crf = np.zeros((224, 224), np.float64)
+        crf[:, : 80 + 8 * i] = 1.0  # distinctive per-frame half-plane
+        _save_img(str(root / "CRFmask" / "training" / ("%08d.png" % i)), crf)
     for name, data in [("training_K", K), ("training_scale", [0.03] * n),
                        ("training_xyz", xyz), ("training_verts", verts)]:
         with open(root / f"{name}.json", "w") as f:
             json.dump(data, f)
     return str(root)
+
+
+def test_freihand_crfmasks(freihand_root, monkeypatch):
+    """CRFmasks / trans_CRFmasks queries (reference data/dataset.py:214-220,
+    261-265): rounded binary tensors; the trans variant warps with the same
+    affine as the image, so a zero-rotation augmentation is the identity."""
+    import hifihr_tpu.data.freihand as fh
+
+    monkeypatch.setattr(fh, "DB_SIZE_TRAIN", 3)
+    ds = fh.FreiHand(freihand_root, split="training",
+                     queries=("CRFmasks",), train=False)
+    s = ds.get_sample(1)
+    assert s["CRFmasks"].shape == (224, 224)
+    assert set(np.unique(s["CRFmasks"])).issubset({0, 1})
+    np.testing.assert_array_equal(s["CRFmasks"][:, :87], 1)  # 80 + 8*1 - aa
+    np.testing.assert_array_equal(s["CRFmasks"][:, 89:], 0)
+    # color-version indices >= db_size reuse the base frame's CRF mask
+    s4 = ds.get_sample(4)  # idx 4 -> base frame 1
+    np.testing.assert_array_equal(s4["CRFmasks"], s["CRFmasks"])
+    ds_t = fh.FreiHand(
+        freihand_root, split="training", max_rot=0.0,
+        queries=("trans_images", "trans_Ks", "CRFmasks", "trans_CRFmasks"),
+    )
+    st = ds_t.get_sample(1)
+    assert set(np.unique(st["CRFmasks"])).issubset({0, 1})
+    np.testing.assert_array_equal(st["CRFmasks"], s["CRFmasks"])
 
 
 def test_freihand_loader(freihand_root, monkeypatch):

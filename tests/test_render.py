@@ -107,6 +107,32 @@ def test_render_rgba_and_gradients():
     np.testing.assert_allclose(float(g[0, 0, 0]), float(fd), rtol=2e-2)
 
 
+def test_morton_sort_render_invariance():
+    """sort_template reorders faces internally (raster bin-occupancy
+    optimization, renderer.morton_face_order); the rendered image must be
+    IDENTICAL to the unsorted renderer — face ids are renderer-internal."""
+    from hifihr_tpu.render.renderer import morton_face_order
+
+    K = _ortho_K(S)
+    rng = np.random.RandomState(3)
+    # small fan of depth-separated triangles so z-resolve order matters
+    verts = jnp.asarray(rng.rand(1, 12, 3).astype(np.float32) * 0.7 - 0.35)
+    verts = verts.at[..., 2].set(1.0 + jnp.abs(verts[..., 2]))
+    faces = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]], np.int32)
+    colors = jnp.asarray(rng.rand(1, 12, 3).astype(np.float32))
+    settings = RenderSettings(image_size=S, aa_factor=2, backend="jax",
+                              face_chunk=4, aa_mode="msaa")
+    base = PhongRenderer(faces, settings)
+    sorted_r = PhongRenderer(faces, settings, sort_template=np.asarray(verts[0]))
+    order = morton_face_order(np.asarray(verts[0]), faces)
+    assert sorted(order.tolist()) == [0, 1, 2, 3]
+    np.testing.assert_array_equal(
+        np.asarray(sorted_r.faces), faces[order])
+    out_a = np.asarray(base(verts, colors, K))
+    out_b = np.asarray(sorted_r(verts, colors, K))
+    np.testing.assert_allclose(out_a, out_b, atol=1e-6)
+
+
 def test_vertex_normals_flat_quad():
     verts = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]])
     faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
@@ -160,18 +186,45 @@ def test_tiny_valid_face_attrs_exact():
 def test_subpixel_sliver_face_bounded():
     """A sub-pixel sliver that wins a pixel whose center lies OUTSIDE it must
     produce bounded interpolated attributes (clip window [-4, 5]): attrs stay
-    within 6x the corner-attr range instead of exploding as area -> 0."""
+    within 6x the corner-attr range instead of exploding as area -> 0.
+
+    Center-outside-but-selected only happens under MSAA selection (a face
+    covering any SUBSAMPLE owns the pixel, raster_msaa.py), so the face id
+    comes from the MSAA-emulation reduce: supersampled center rasterisation
+    + nearest-z pooling — the exact non-TPU path of
+    PhongRenderer._select_faces_msaa."""
     K = _ortho_K(S)
-    # degenerate-thin sliver: 0.02 px tall, 3 px wide, crossing pixel row 16
+    a = 3
+    # degenerate-thin sliver: ~0.008 px tall, 3 px wide, threaded through the
+    # 1/6 SUBSAMPLE row of pixel row 16 (3x3 grid centers sit at offsets
+    # 1/6, 1/2, 5/6) while missing every base pixel center at offset 1/2
     verts = jnp.asarray(
-        [[[-1.5 / S, 0.21 / S, 1.0],
-          [1.5 / S, 0.23 / S, 1.0],
-          [-1.5 / S, 0.225 / S, 1.0]]]
+        [[[-1.5 / S, 0.160 / S, 1.0],
+          [1.5 / S, 0.170 / S, 1.0],
+          [-1.5 / S, 0.175 / S, 1.0]]]
     )
     faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    # base-res centers never land inside it: the legacy center-only selection
+    # must produce zero coverage (this is WHY the MSAA reduce is needed)
     vs = project_to_screen(verts, K)
-    fid, _ = rasterize_face_id(vs, faces, S, chunk=4)
-    frag = barycentric_coords(fid, vs, faces)
+    fid_center, _ = rasterize_face_id(vs, faces, S, chunk=4)
+    assert not (np.asarray(fid_center) >= 0).any()
+    # MSAA-style selection: supersample, pick nearest covering face per pixel
+    K_big = K * jnp.asarray([[a, 1, a], [1, a, a], [1, 1, 1]], K.dtype)
+    vs_big = project_to_screen(verts, K_big)
+    fid_big, z_big = rasterize_face_id(vs_big, faces, S * a, chunk=4)
+    fid_blk = np.asarray(fid_big).reshape(1, S, a, S, a).transpose(0, 1, 3, 2, 4)
+    z_blk = np.asarray(z_big).reshape(1, S, a, S, a).transpose(0, 1, 3, 2, 4)
+    nearest = z_blk.reshape(1, S, S, a * a).argmin(-1)
+    fid = np.take_along_axis(
+        fid_blk.reshape(1, S, S, a * a), nearest[..., None], axis=-1
+    )[..., 0].astype(np.int32)
+    assert (fid >= 0).any()  # guard against vacuity: the sliver DOES win pixels
+    frag = barycentric_coords(jnp.asarray(fid), vs, faces)
+    bary = np.asarray(frag["bary"])[fid >= 0]
+    # the guard must actually fire: an unclipped sliver barycentric at a
+    # center ~0.3 px from a 0.02 px face is O(10); clipping pins it to ±window
+    assert ((bary == -4.0) | (bary == 5.0)).any()
     attrs = jnp.asarray([[[0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.5, 1.0, 1.0]]])
     out = np.asarray(interpolate_attribute(frag, attrs))
     assert np.isfinite(out).all()

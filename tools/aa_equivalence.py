@@ -41,12 +41,9 @@ def run_one(aa_mode: str, epochs: int) -> dict:
     from hifihr_tpu.training.loop import Trainer
     from train import build_loaders, load_eval_gt
 
-    import dataclasses
-
-    config = Config.from_json(os.path.join(ROOT, "configs/smoke_render.json"))
-    config = dataclasses.replace(
-        config, aa_mode=aa_mode, total_epochs=epochs,
-        base_out_path=f"output/aa_equiv_{aa_mode}")
+    config = Config.from_json(
+        os.path.join(ROOT, "configs/smoke_render.json"), aa_mode=aa_mode,
+        total_epochs=epochs, base_out_path=f"output/aa_equiv_{aa_mode}")
     os.makedirs(config.base_out_path, exist_ok=True)
 
     model = HiFiHR(config=config)

@@ -120,12 +120,18 @@ def _nimble_geom():
     return layer, verts, out["textures"], K
 
 
-def _raster_ms():
+def _raster_ms(sort: bool = False):
     from hifihr_tpu.render import raster_jax
     from hifihr_tpu.render.raster_msaa import rasterize_msaa_pallas
 
     layer, verts, _, K = _nimble_geom()
     faces = layer.skin_faces
+    if sort:  # production ordering (renderer.morton_face_order)
+        from hifihr_tpu.render.renderer import morton_face_order
+
+        faces = jnp.asarray(
+            layer.faces_np[morton_face_order(layer.v_template_np, layer.faces_np)]
+        )
 
     @jax.jit
     def run(verts, K):
@@ -142,7 +148,8 @@ def _shade_ms():
     layer, verts, textures, K = _nimble_geom()
     renderer = PhongRenderer(layer.skin_faces,
                              RenderSettings(image_size=SIZE, aa_mode="msaa"),
-                             face_uv=layer.face_uv)
+                             face_uv=layer.face_uv_np,
+                             sort_template=layer.v_template_np)
     colors = jnp.ones((BATCH, verts.shape[1], 3), jnp.float32) * 0.5
 
     @jax.jit
@@ -158,16 +165,23 @@ def _shade_ms():
 
 def main():
     dev = jax.devices()[0]
-    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, batch {BATCH}")
-    rows = [
-        ("nimble layer fwd+bwd", _layer_ms()),
-        ("raster F=11926 (MSAA fwd)", _raster_ms()),
-        ("shade textured (fwd+bwd)", _shade_ms()),
-        ("train step, no render", _train_step_ms(False)),
-        ("train step, full nimble", _train_step_ms(True)),
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, batch {BATCH}",
+          flush=True)
+    stages = [
+        ("nimble layer fwd+bwd", _layer_ms),
+        ("raster F=11926 (MSAA fwd)", _raster_ms),
+        ("raster F=11926 morton-sorted", lambda: _raster_ms(sort=True)),
+        ("shade textured (fwd+bwd)", _shade_ms),
+        ("train step, no render", lambda: _train_step_ms(False)),
+        ("train step, full nimble", lambda: _train_step_ms(True)),
     ]
-    for name, ms in rows:
-        print(f"{name:34s} {ms:8.1f} ms   ({BATCH / ms * 1e3:7.1f} img/s)")
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    for name, fn in stages:
+        if only and not any(o in name for o in only):
+            continue
+        ms = fn()
+        print(f"{name:34s} {ms:8.1f} ms   ({BATCH / ms * 1e3:7.1f} img/s)",
+              flush=True)
 
 
 if __name__ == "__main__":
