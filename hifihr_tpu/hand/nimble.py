@@ -135,6 +135,47 @@ class NimbleLayer:
             self.tex_mean_uv = jnp.concatenate(means, axis=-1)  # (h, w, 3|7)
             self.tex_basis_uv = jnp.concatenate(bases, axis=-2)  # (h, w, 3|7, T)
 
+        # corner-sampled appearance (renderer 'corner' texture mode): the PCA
+        # mean/basis maps bilinearly sampled at the F x 3 atlas corner UVs,
+        # precomputed on host.  At F≈12k faces on a 224² render each face is
+        # ~1 px, so barycentric interpolation of corner samples matches
+        # per-fragment UV sampling to sub-texel accuracy — and the render
+        # loop drops the per-pixel texture gather AND its scatter-add
+        # backward entirely (gradients to texture_params flow through one
+        # small einsum).
+        self.corner_mean_np = None
+        self.corner_basis_np = None
+        if (m.face_uv is not None and m.tex_mean_uv is not None
+                and m.tex_basis_uv is not None):
+            corners = np.asarray(m.face_uv, np.float64)  # (F, 3, 2)
+
+            def csamp(img):
+                a = np.asarray(img, np.float64)  # (h, w, C[, T])
+                h, w = a.shape[:2]
+                x = np.clip(corners[..., 0], 0.0, 1.0) * (w - 1)
+                y = np.clip(corners[..., 1], 0.0, 1.0) * (h - 1)
+                x0 = np.clip(np.floor(x).astype(int), 0, w - 2)
+                y0 = np.clip(np.floor(y).astype(int), 0, h - 2)
+                fx = (x - x0)[..., None]
+                fy = (y - y0)[..., None]
+                if a.ndim == 4:
+                    fx, fy = fx[..., None], fy[..., None]
+                t00, t01 = a[y0, x0], a[y0, x0 + 1]
+                t10, t11 = a[y0 + 1, x0], a[y0 + 1, x0 + 1]
+                top = t00 * (1 - fx) + t01 * fx
+                bot = t10 * (1 - fx) + t11 * fx
+                return (top * (1 - fy) + bot * fy).astype(np.float32)
+
+            t = tex_ncomp
+            cmeans = [csamp(m.tex_mean_uv)]
+            cbases = [csamp(m.tex_basis_uv[..., :t])]
+            if m.normal_mean_uv is not None and m.spec_mean_uv is not None:
+                cmeans += [csamp(m.normal_mean_uv), csamp(m.spec_mean_uv)]
+                cbases += [csamp(m.normal_basis_uv[..., :t]),
+                           csamp(m.spec_basis_uv[..., :t])]
+            self.corner_mean_np = np.concatenate(cmeans, axis=-1)  # (F,3,3|7)
+            self.corner_basis_np = np.concatenate(cbases, axis=-2)  # (F,3,3|7,T)
+
     def __call__(self, hand_params: dict, handle_collision: bool = False) -> dict:
         with jax.default_matmul_precision("highest"):
             return self._forward(hand_params)

@@ -223,6 +223,12 @@ class HiFiHR(nn.Module):
                 RenderSettings(image_size=cfg.image_size, aa_factor=cfg.aa_factor,
                                aa_mode=cfg.aa_mode, with_depth=True),
                 vert_uv=vert_uv, face_uv=face_uv, sort_template=sort_template,
+                # corner-sampled appearance (fast path; renderer falls back
+                # to per-fragment UV sampling when absent or in ssaa mode)
+                corner_mean=(self.nimble.corner_mean_np
+                             if cfg.hand_model == "nimble" else None),
+                corner_basis=(self.nimble.corner_basis_np
+                              if cfg.hand_model == "nimble" else None),
             )
             if light_params is not None:
                 light = DirectionalLight.from_estimator(
@@ -231,7 +237,9 @@ class HiFiHR(nn.Module):
             else:
                 light = DirectionalLight.default(b, images.dtype)
             rgba = renderer(render_verts, albedo, Ks[:, :3, :3], light,
-                            texture_image=texture_image)
+                            texture_image=texture_image,
+                            tex_coef=(hand_params.get("texture_params")
+                                      if cfg.hand_model == "nimble" else None))
             re_sil = (rgba[..., 3:4] > 0).astype(images.dtype) * 255.0
             outputs["re_img"] = rgba[..., :3]
             outputs["re_sil"] = re_sil

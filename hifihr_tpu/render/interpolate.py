@@ -19,6 +19,7 @@ def fragment_interpolate(
     faces: jnp.ndarray,  # (F, 3)
     vert_attrs: jnp.ndarray,  # (B, V, D) — differentiable
     corner_attrs_static: jnp.ndarray | None = None,  # (F, 3, Ds) per-corner
+    corner_attrs_batched: jnp.ndarray | None = None,  # (B, F, 3, Dc)
 ):
     """Fused barycentric + attribute interpolation via ONE per-pixel gather.
 
@@ -35,7 +36,11 @@ def fragment_interpolate(
     and interpolate with the same barycentrics, appended after the
     per-vertex channels in the output.
 
-    Returns (pix_attrs (B, H, W, D[+Ds]), mask (B, H, W), zbuf).
+    `corner_attrs_batched` carries BATCHED per-face-corner attributes that
+    are differentiable (e.g. corner-sampled PCA appearance, renderer
+    'corner' texture mode) — appended after the static channels.
+
+    Returns (pix_attrs (B, H, W, D[+Ds][+Dc]), mask (B, H, W), zbuf).
     """
     import jax
 
@@ -53,6 +58,13 @@ def fragment_interpolate(
             corner_attrs_static.reshape(F, 3 * Ds)[None], (B, F, 3 * Ds)
         ).astype(corner_attrs.dtype)
         corner_attrs = jnp.concatenate([corner_attrs, static], axis=-1)
+    if corner_attrs_batched is not None:
+        Dc = corner_attrs_batched.shape[-1]
+        corner_attrs = jnp.concatenate(
+            [corner_attrs,
+             corner_attrs_batched.reshape(B, F, 3 * Dc).astype(corner_attrs.dtype)],
+            axis=-1)
+        Ds = Ds + Dc  # interpolated identically below
     table = jnp.concatenate([tri, corner_attrs], axis=-1)  # (B, F, 9+3D+3Ds)
 
     row = 9 + 3 * (D + Ds)

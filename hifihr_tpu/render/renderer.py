@@ -98,19 +98,30 @@ class PhongRenderer:
     """
 
     def __init__(self, faces, settings: RenderSettings = RenderSettings(),
-                 vert_uv=None, face_uv=None, sort_template=None):
+                 vert_uv=None, face_uv=None, sort_template=None,
+                 corner_mean=None, corner_basis=None):
         if sort_template is not None:
             # spatial face reorder for raster bin occupancy (morton_face_order
             # docstring); face ids are renderer-internal, so per-face data
-            # (face_uv) is permuted alongside and nothing outside changes
+            # (face_uv, corner appearance) is permuted alongside and nothing
+            # outside changes
             order = morton_face_order(sort_template, faces)
             faces = np.asarray(faces)[order]
             if face_uv is not None:
                 face_uv = np.asarray(face_uv)[order]
+            if corner_mean is not None:
+                corner_mean = np.asarray(corner_mean)[order]
+                corner_basis = np.asarray(corner_basis)[order]
         self.faces = jnp.asarray(faces, jnp.int32)
         self.settings = settings
         self.vert_uv = None if vert_uv is None else jnp.asarray(vert_uv, jnp.float32)
         self.face_uv = None if face_uv is None else jnp.asarray(face_uv, jnp.float32)
+        # corner-sampled PCA appearance (texture 'corner' mode): mean
+        # (F, 3, C) and basis (F, 3, C, T) sampled at the atlas corner UVs
+        self.corner_mean = (
+            None if corner_mean is None else jnp.asarray(corner_mean, jnp.float32))
+        self.corner_basis = (
+            None if corner_basis is None else jnp.asarray(corner_basis, jnp.float32))
 
     def rasterize(self, verts_cam: jnp.ndarray, K: jnp.ndarray):
         """Returns (frag dict, verts_screen) at the supersampled resolution."""
@@ -130,6 +141,7 @@ class PhongRenderer:
         light: DirectionalLight | None = None,
         materials: Materials = Materials(),
         texture_image: jnp.ndarray | None = None,  # (B, Ht, Wt, 3) UV albedo
+        tex_coef: jnp.ndarray | None = None,  # (B, T) PCA appearance coeffs
     ) -> jnp.ndarray:
         """Render -> (B, image_size, image_size, 4) RGBA, antialiased.
 
@@ -145,6 +157,17 @@ class PhongRenderer:
         if light is None:
             light = DirectionalLight.default(verts_cam.shape[0], verts_cam.dtype)
         b, v = verts_cam.shape[:2]
+
+        # corner texture mode (MSAA only): texels = barycentric interpolation
+        # of the PCA appearance evaluated at face-corner UVs.  Drops the
+        # per-pixel texture gather and its scatter-add backward — measured
+        # 325 ms of the 524 ms NIMBLE step at batch 32 (tools/profile_shade)
+        # — for one (F,3,C,T)x(B,T) einsum; gradients reach tex_coef through
+        # it.  At F≈12k on 224² each face is ~1 px, so this matches
+        # per-fragment sampling to sub-texel accuracy (tests/test_uv_texture).
+        if (s.aa_mode == "msaa" and tex_coef is not None
+                and self.corner_mean is not None):
+            return self._render_corner(verts_cam, K, light, materials, tex_coef)
         have_uv = self.face_uv is not None or self.vert_uv is not None
         use_uv = texture_image is not None and have_uv
         tex_c = 0 if texture_image is None else texture_image.shape[-1]
@@ -252,6 +275,54 @@ class PhongRenderer:
             return _avg_pool(rgba, s.aa_factor)
 
         return jax.checkpoint(shade)(verts_cam, vert_colors, light, texture_image)
+
+    def _render_corner(self, verts_cam, K, light, materials, tex_coef):
+        """MSAA render with corner-sampled PCA appearance (see __call__)."""
+        from hifihr_tpu.render.interpolate import fragment_interpolate
+
+        s = self.settings
+        C = self.corner_mean.shape[-1]
+        T = self.corner_basis.shape[-1]
+        with_maps = C >= 7  # diffuse(3) + tangent-space normal(3) + spec(1)
+        face_id, coverage = self._select_faces_msaa(verts_cam, K)
+        corner_tex = self.corner_mean[None] + jnp.einsum(
+            "fkct,bt->bfkc", self.corner_basis, tex_coef[:, :T]
+        )
+        corner_tex = jnp.clip(corner_tex, 0.0, 1.0)
+
+        parts = []
+        if with_maps:
+            from hifihr_tpu.render.mesh import vertex_tangents
+
+            parts.append(vertex_tangents(verts_cam, self.faces, self.face_uv))
+        parts.append(vertex_normals(verts_cam, self.faces))
+        parts.append(verts_cam)
+        attrs = jnp.concatenate(parts, axis=-1)
+        verts_screen = raster_jax.project_to_screen(verts_cam, K)
+        pix, _, _ = fragment_interpolate(
+            face_id, verts_screen, self.faces, attrs,
+            corner_attrs_batched=corner_tex,
+        )
+        off = 0
+        tangent = None
+        if with_maps:
+            tangent = pix[..., :3]
+            off = 3
+        pix_n = pix[..., off : off + 3]
+        pix_p = pix[..., off + 3 : off + 6]
+        sampled = jnp.clip(pix[..., off + 6 : off + 6 + C], 0.0, 1.0)
+        texels = sampled[..., :3]
+        normal_map = sampled[..., 3:6] if with_maps else None
+        spec_map = sampled[..., 6:7] if with_maps else None
+        rgb = phong_shade(texels, pix_n, pix_p, light, materials,
+                          normal_map=normal_map, tangents=tangent,
+                          spec_map=spec_map)
+        rgb = rgb * coverage[..., None]
+        chans = [rgb, coverage[..., None]]
+        if s.with_depth:
+            covered = (coverage > 0).astype(rgb.dtype)[..., None]
+            chans.append(pix_p[..., 2:3] * covered)
+        return jnp.concatenate(chans, axis=-1)
 
     def _select_faces_msaa(self, verts_cam, K_base):
         """(face_id, coverage) at base resolution via the MSAA kernel, or an

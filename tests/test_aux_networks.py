@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.networks.hourglass import NetHMHG, heatmaps_to_uv
 from hifihr_tpu.networks.openpose_hand import HandposeCPM
 
 
+@pytest.mark.slow
 def test_hourglass_shapes():
     model = NetHMHG(num_stacks=2, features=64)  # slim for CPU test
     x = jnp.zeros((1, 64, 64, 3))
@@ -25,6 +27,7 @@ def test_heatmaps_to_uv_peak():
     np.testing.assert_allclose(uv[0, :, 1], 5.5, atol=0.1)
 
 
+@pytest.mark.slow
 def test_cpm_handpose_shapes():
     model = HandposeCPM()
     x = jnp.zeros((1, 64, 64, 3))

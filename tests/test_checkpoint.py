@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.config import Config
 from hifihr_tpu.models.hifihr import HiFiHR
@@ -18,6 +19,7 @@ def _state(cfg, seed=0):
     return create_train_state(model, cfg, jax.random.PRNGKey(seed), batch)
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     cfg = Config(pretrain="res18", hand_model="mano", render=False,
                  light_estimation=False, image_size=32, aa_factor=2)
@@ -34,6 +36,7 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_selective_restore_across_variants(tmp_path):
     """A render=False checkpoint warm-starts a render=True model: shared
     submodules restore, the new vert_tex param keeps its fresh init

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import pytest
 
 from hifihr_tpu.config import Config
+
+# full loader->jitted-train-step integration: ~25 s per dataset on one CPU
+pytestmark = pytest.mark.slow
 from hifihr_tpu.data.base import BatchLoader, ConcatLoader
 from hifihr_tpu.losses.stack import LossComputer
 from hifihr_tpu.models.hifihr import HiFiHR

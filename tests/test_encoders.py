@@ -77,6 +77,7 @@ def test_mmpool_mix():
     np.testing.assert_allclose(out[1, 0], expect_b1, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_effnet_encoder_shapes():
     from hifihr_tpu.networks.efficientnet import EffNetEncoder
 
@@ -88,6 +89,7 @@ def test_effnet_encoder_shapes():
     assert feat.shape == (1, 1536)
 
 
+@pytest.mark.slow
 def test_hrnet_encoder_shapes():
     from hifihr_tpu.networks.hrnet import HRNetEncoder
 

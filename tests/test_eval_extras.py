@@ -4,6 +4,7 @@ re_depth output, LPIPS in texture metrics (VERDICT r1 items 5, 9, 10)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.config import Config
 from hifihr_tpu.data.base import BatchLoader, Subset
@@ -73,6 +74,7 @@ def test_re_depth_output(rng):
     assert (depth[~sil] == 0).all()
 
 
+@pytest.mark.slow
 def test_texture_metrics_include_lpips(rng):
     from hifihr_tpu.training.metrics import texture_metrics
 
@@ -87,6 +89,7 @@ def test_texture_metrics_include_lpips(rng):
     assert not any(k.startswith("lpips") for k in m16)
 
 
+@pytest.mark.slow
 def test_trainer_eval_artifacts_save2d_save3d_imgwise(tmp_path):
     """config.save_2d / save_3d / img_wise_save / is_val must gate the
     reference's eval artifacts (traineval_util.py:371-442, train_hrnet.py:119)

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.geometry.projection import perspective_project
 from hifihr_tpu.hand.mano import ManoLayer, regress_joints_frei
@@ -13,6 +14,7 @@ from hifihr_tpu.training.fitting import make_fitting_fn
 from hifihr_tpu.training.submission import dump_predictions, to_ho3d_convention
 
 
+@pytest.mark.slow
 def test_fitting_reduces_reprojection_error(rng):
     mano = ManoLayer()
     fit = make_fitting_fn(mano, n_steps=30)

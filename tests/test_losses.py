@@ -144,6 +144,7 @@ def test_per_dataset_loss_override():
     assert "mscale" in d_ho3d  # falls back to the global loss set
 
 
+@pytest.mark.slow
 def test_every_configured_loss_name_fires(rng):
     """Every loss name listed by any shipped config must produce a nonzero
     entry on a synthetic batch (VERDICT r1: tsa_poses and triangle silently

@@ -115,6 +115,7 @@ def test_regressed_frei_joints_close_to_layer_joints(mano_model, rng):
     assert err.max() < 0.015, err
 
 
+@pytest.mark.slow
 def test_mano_grad_finite(mano_model):
     layer = ManoLayer(mano_model, ncomps=45)
 

@@ -82,6 +82,7 @@ def test_train_mode_updates_batch_stats(model_and_vars):
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_mano_new_path():
     """YTBHand baseline (hand_model='mano_new') output contract."""
     from hifihr_tpu.config import Config

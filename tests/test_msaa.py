@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.render.raster_jax import project_to_screen
 from hifihr_tpu.render.raster_msaa import rasterize_msaa_pallas
@@ -34,6 +35,7 @@ def test_msaa_kernel_matches_emulation(rng):
     )
 
 
+@pytest.mark.slow
 def test_msaa_alpha_equals_ssaa_pooled_alpha():
     K, verts, faces, colors = _scene()
     r_msaa = PhongRenderer(faces, RenderSettings(S, 3, backend="jax", face_chunk=4,
@@ -51,6 +53,7 @@ def test_msaa_alpha_equals_ssaa_pooled_alpha():
     )
 
 
+@pytest.mark.slow
 def test_msaa_coverage_matches_ssaa_on_hand_mesh():
     """Full-mesh coverage parity (guards quantisation bugs the one-triangle
     scene can't see, e.g. bf16 default-precision selection matmuls)."""
@@ -85,6 +88,7 @@ def test_msaa_coverage_matches_ssaa_on_hand_mesh():
     np.testing.assert_array_equal(np.asarray(fid)[covered] >= 0, True)
 
 
+@pytest.mark.slow
 def test_msaa_gradients_finite():
     import jax
 

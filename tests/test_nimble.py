@@ -72,6 +72,7 @@ def test_grad_finite(layer):
         assert np.all(np.isfinite(np.asarray(x)))
 
 
+@pytest.mark.slow
 def test_model_integration_nimble():
     from hifihr_tpu.config import Config
     from hifihr_tpu.models.hifihr import HiFiHR

@@ -207,6 +207,96 @@ def test_normal_and_spec_maps_change_shading():
     assert (base[..., :3] - matte[..., :3]).max() > 1e-4
 
 
+def test_corner_texture_mode_matches_fragment_sampling():
+    """Corner texture mode (renderer._render_corner): PCA appearance sampled
+    at face-corner UVs + barycentric interpolation.  On a texture that is
+    LINEAR in uv both paths are mathematically identical, so this checks the
+    fast path exactly; gradient must reach tex_coef."""
+    from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+    verts = jnp.asarray([[[-0.05, -0.05, 0.3], [0.05, -0.05, 0.3],
+                          [0.0, 0.06, 0.31], [0.0, -0.01, 0.35]]], jnp.float32)
+    faces = np.asarray([[0, 1, 2], [0, 1, 3], [1, 2, 3], [2, 0, 3]], np.int32)
+    uv = np.asarray([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9], [0.5, 0.5]], np.float32)
+    face_uv = uv[faces]  # (F, 3, 2)
+    S = 16
+    K = jnp.asarray([[[S * 2.0, 0, S / 2], [0, S * 2.0, S / 2], [0, 0, 1]]])
+    settings = RenderSettings(S, 2, backend="jax", face_chunk=4, aa_mode="msaa")
+
+    # mean/basis linear in uv, scaled so mean + 0.3*basis stays in [0, 1]
+    # (the corner path clips composed values; keep both paths clip-free)
+    h = w = 9
+    gy, gx = np.mgrid[0:h, 0:w].astype(np.float32)
+    u_img, v_img = gx / (w - 1), gy / (h - 1)
+    mean = np.stack([0.5 * u_img, 0.5 * v_img, 0.3 * np.ones_like(u_img)], -1)
+    basis = np.stack([0.3 * v_img, 0.3 * u_img, 0.3 * u_img], -1)[..., None]
+    coef = jnp.asarray([[0.3]])
+
+    def corner_sample(img):  # exact (linear map): evaluate at corner uv
+        # img is linear in (u, v): img(u, v) = img(0,0) + u*du + v*dv
+        c00, c10, c01 = img[0, 0], img[0, -1], img[-1, 0]
+        out = (c00[None, None]
+               + face_uv[..., :1] * (c10 - c00)[None, None]
+               + face_uv[..., 1:2] * (c01 - c00)[None, None])
+        return out.astype(np.float32)
+
+    corner_mean = corner_sample(mean)
+    corner_basis = corner_sample(basis[..., 0])[..., None]
+
+    r_frag = PhongRenderer(faces, settings, face_uv=jnp.asarray(face_uv))
+    r_corner = PhongRenderer(faces, settings, face_uv=jnp.asarray(face_uv),
+                             corner_mean=corner_mean, corner_basis=corner_basis)
+    tex_img = jnp.asarray(mean + basis[..., 0] * 0.3)[None]
+    vc = jnp.zeros((1, 4, 2))
+    img_frag = np.asarray(r_frag(verts, vc, K, texture_image=tex_img))
+    img_corner = np.asarray(r_corner(verts, vc, K, tex_coef=coef))
+    # bilinear sampling of a linear texture == linear evaluation -> EXACT on
+    # interior pixels (bary in [0,1], no clamping anywhere).  Silhouette
+    # pixels extrapolate: fragment clamps uv then samples, corner clamps the
+    # extrapolated texel — tiny bounded difference, scaled by coverage < 1.
+    interior = img_frag[..., 3] == 1.0
+    assert interior.any()
+    np.testing.assert_allclose(img_corner[interior], img_frag[interior],
+                               atol=2e-3)
+    np.testing.assert_allclose(img_corner, img_frag, atol=0.05)
+
+    def f(c):
+        rgba = r_corner(verts, vc, K, tex_coef=c)
+        return jnp.sum(rgba[..., :3])
+
+    g = jax.grad(f)(coef)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_corner_texture_mode_seven_channel():
+    """Corner mode with the full 7-channel appearance (diffuse+normal+spec):
+    flat normal + unit spec must match the 3-channel corner render closely
+    (same anchor as the fragment-path test above)."""
+    from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
+
+    verts = jnp.asarray([[[-0.05, -0.05, 0.3], [0.05, -0.05, 0.3],
+                          [0.0, 0.06, 0.31]]], jnp.float32)
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    face_uv = np.asarray([[[0.1, 0.1], [0.9, 0.1], [0.5, 0.9]]], np.float32)
+    S = 16
+    K = jnp.asarray([[[S * 2.0, 0, S / 2], [0, S * 2.0, S / 2], [0, 0, 1]]])
+    settings = RenderSettings(S, 2, backend="jax", face_chunk=4, aa_mode="msaa")
+    diffuse = np.broadcast_to(np.asarray([0.6, 0.4, 0.3], np.float32), (1, 3, 3))
+    flat_n = np.broadcast_to(np.asarray([0.5, 0.5, 1.0], np.float32), (1, 3, 3))
+    one_s = np.ones((1, 3, 1), np.float32)
+    mean7 = np.concatenate([diffuse, flat_n, one_s], -1)
+    basis7 = np.zeros((1, 3, 7, 1), np.float32)
+    r7 = PhongRenderer(faces, settings, face_uv=jnp.asarray(face_uv),
+                       corner_mean=mean7, corner_basis=basis7)
+    r3 = PhongRenderer(faces, settings, face_uv=jnp.asarray(face_uv),
+                       corner_mean=diffuse, corner_basis=basis7[:, :, :3])
+    vc = jnp.zeros((1, 3, 2))
+    coef = jnp.zeros((1, 1))
+    img7 = np.asarray(r7(verts, vc, K, tex_coef=coef))
+    img3 = np.asarray(r3(verts, vc, K, tex_coef=coef))
+    np.testing.assert_allclose(img7, img3, atol=2e-3)
+
+
 def test_face_uv_seams_no_bleed():
     """Per-corner UVs: two faces sharing an edge but mapped to DISJOINT
     texture tiles must each sample their own tile (impossible with per-vertex
