@@ -211,7 +211,7 @@ def main():
     # not by the 30 img/s per-op estimate (kept as a separate key).
     bound_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_BOUND.json")
-    lo, hi = None, None
+    lo, hi, bound = None, None, None
     if os.path.exists(bound_path):
         with open(bound_path) as f:
             bound = json.load(f)
@@ -247,7 +247,13 @@ def main():
     # encoder-bearing configs run effb3; NIMBLE is the paper's flagship model
     if os.environ.get("BENCH_VARIANTS", "1") != "0":
         _extra(record, "nimble_images_per_sec",
-               lambda: _measure("msaa", 32, 10, hand_model="nimble"))
+               lambda: _measure("msaa", BATCH, 10, hand_model="nimble"))
+        if isinstance(record.get("nimble_images_per_sec"), (int, float)) and (
+                "ref_gpu_nimble_images_per_sec_bounds" in (bound or {})):
+            nlo, nhi = bound["ref_gpu_nimble_images_per_sec_bounds"]
+            record["nimble_baseline_bounds_images_per_sec"] = [nlo, nhi]
+            record["nimble_vs_baseline"] = round(
+                record["nimble_images_per_sec"] / nhi, 2)
         _extra(record, "effb3_images_per_sec",
                lambda: _measure("msaa", BATCH, 10, pretrain="effb3"))
     # SSAA last: a separate cold program with the least information value

@@ -266,25 +266,26 @@ def rasterize_msaa_pallas(
 
     n_rowbin = -(-(n_rows + 1) // 8) * 8  # +1 guarantees a -1 sentinel slot
 
-    # per-tile compacted index lists — computed by cumsum + scatter, NOT
-    # `jnp.where(size=...)`: the where form lowers to a per-tile sort that
-    # alone cost 33 ms at batch 64 (2/3 of the whole rasterise step).  The
-    # scatter writes each overlapping row id at its prefix-sum position;
-    # non-overlapping rows target an out-of-bounds slot and are dropped.
-    # Lists stay ascending with a -1-padded tail (the kernel's early-exit
+    # per-tile compacted index lists — computed by a cumsum + COUNT-compare,
+    # NOT `jnp.where(size=...)` (lowers to a per-tile sort, 33 ms at batch
+    # 64) and NOT a scatter (XLA's serializing scatter lowering cost ~25 ms
+    # of a 37 ms prep at batch 64).  With csum = inclusive prefix count of
+    # overlapping rows, the j-th overlapping row id is exactly
+    # count(csum <= j): rows before it have prefix <= j.  That is a fused
+    # broadcast-compare + reduce over the row axis — pure VPU work.  Lists
+    # stay ascending with a -1-padded tail (the kernel's early-exit
     # contract).  They ride in SMEM where dynamic scalar reads are free; the
     # packed table ships to VMEM once per image (block index constant across
     # the tile sweep, so Mosaic elides the repeated DMAs).
     flat_ov = overlap.reshape(B * nty * ntx, n_rows)
-    pos = jnp.cumsum(flat_ov.astype(jnp.int32), axis=-1) - 1
-    pos = jnp.where(flat_ov, pos, n_rowbin)  # invalid -> OOB, dropped
-    r_ids = jnp.broadcast_to(
-        jnp.arange(n_rows, dtype=jnp.int32)[None], flat_ov.shape
-    )
-    init = jnp.full((B * nty * ntx, n_rowbin), -1, jnp.int32)
-    idx = init.at[
-        jnp.arange(B * nty * ntx)[:, None], pos
-    ].set(r_ids, mode="drop").reshape(B, nty * ntx, 1, n_rowbin)
+    csum = jnp.cumsum(flat_ov.astype(jnp.int32), axis=-1)  # (BT, n_rows)
+    total = csum[:, -1:]
+    slots = jnp.arange(n_rowbin, dtype=jnp.int32)[None, None]  # (1, 1, S)
+    idx = jnp.sum(
+        (csum[..., None] <= slots).astype(jnp.int32), axis=1, dtype=jnp.int32
+    )  # (BT, S): count rows with prefix <= j == j-th overlapping row id
+    idx = jnp.where(slots[0] < total, idx, -1)
+    idx = idx.reshape(B, nty * ntx, 1, n_rowbin)
 
     # outputs in TILE-MAJOR layout: each program writes one contiguous
     # (tile_h * tile) block — a (tile_h, tile) window of a W_pad-wide image

@@ -83,6 +83,28 @@ def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return x.reshape(b, h // k, k, w // k, k, c).mean(axis=(2, 4))
 
 
+def _pixel_ray_points(zbuf, mask, K, size):
+    """Fragment camera positions from the pixel ray and the interpolated
+    perspective-correct depth: p = ((u-cx)/fx, (v-cy)/fy, 1) * z at pixel
+    centres.  Identical to barycentric interpolation of vertex positions for
+    on-face fragments (the fragment lies on its pixel's ray by construction),
+    with gradients to verts flowing through z — the lateral components the
+    interpolated form carries would move the point OFF the ray, so this is
+    both 3 packed-gather channels cheaper and geometrically cleaner.
+    zbuf: (B, H, W) with inf on background (masked to 0 here)."""
+    B = zbuf.shape[0]
+    dt = zbuf.dtype
+    u = jnp.arange(size, dtype=dt) + 0.5
+    z = jnp.where(mask > 0, zbuf, 0.0)
+    fx = K[:, 0, 0][:, None, None]
+    fy = K[:, 1, 1][:, None, None]
+    cx = K[:, 0, 2][:, None, None]
+    cy = K[:, 1, 2][:, None, None]
+    x = (u[None, None, :] - cx) / fx * z
+    y = (u[None, :, None] - cy) / fy * z
+    return jnp.stack([x, y, z], axis=-1)
+
+
 class PhongRenderer:
     """Stateless; construct with static faces, call with batched geometry.
 
@@ -180,7 +202,7 @@ class PhongRenderer:
         uv_in_verts = use_uv and self.face_uv is None
         nc = 0 if use_uv else vert_colors.shape[-1]
 
-        def assemble(verts_cam, vert_colors):
+        def assemble(verts_cam, vert_colors, include_points=True):
             parts = []
             if not use_uv:
                 parts.append(vert_colors)
@@ -191,12 +213,14 @@ class PhongRenderer:
 
                 parts.append(vertex_tangents(verts_cam, self.faces, face_uv))
             parts.append(vertex_normals(verts_cam, self.faces))
-            parts.append(verts_cam)
+            if include_points:
+                parts.append(verts_cam)
             return jnp.concatenate(parts, axis=-1)
 
-        def shade_pix(pix, pix_uv, texture_image, cover):
+        def shade_pix(pix, pix_uv, texture_image, cover, pix_p=None):
             """pix: interpolated per-vertex channels; pix_uv: (B,H,W,2) or
-            None (then UV lives at the head of pix)."""
+            None (then UV lives at the head of pix); pix_p: fragment camera
+            positions, or None to take them from pix's tail."""
             off = 0
             if not use_uv:
                 texels = pix[..., :nc]
@@ -213,7 +237,8 @@ class PhongRenderer:
                 tangent = pix[..., off : off + 3]
                 off += 3
             pix_n = pix[..., off : off + 3]
-            pix_p = pix[..., off + 3 : off + 6]
+            if pix_p is None:
+                pix_p = pix[..., off + 3 : off + 6]
             normal_map = spec_map = None
             if use_uv:
                 from hifihr_tpu.render.texture import sample_texture
@@ -241,16 +266,21 @@ class PhongRenderer:
                 from hifihr_tpu.render.interpolate import fragment_interpolate
 
                 verts_screen = raster_jax.project_to_screen(verts_cam, K_base)
-                attrs = assemble(verts_cam, vert_colors)
+                # fragment positions come from the pixel ray + interpolated
+                # depth (_pixel_ray_points) instead of interpolating verts —
+                # 3 fewer packed-gather channels, identical on-face values
+                attrs = assemble(verts_cam, vert_colors, include_points=False)
                 static = face_uv if (use_uv and self.face_uv is not None) else None
-                pix, _, _ = fragment_interpolate(
+                pix, mask, zbuf = fragment_interpolate(
                     face_id, verts_screen, self.faces, attrs,
                     corner_attrs_static=static,
                 )
                 pix_uv = pix[..., -2:] if static is not None else None
                 if static is not None:
                     pix = pix[..., :-2]
-                return shade_pix(pix, pix_uv, texture_image, coverage)
+                pix_p = _pixel_ray_points(zbuf, mask, K_base, s.image_size)
+                return shade_pix(pix, pix_uv, texture_image, coverage,
+                                 pix_p=pix_p)
 
             # base-res activations are 9x smaller than SSAA's: storing them
             # for backward is cheaper than rematerialising
@@ -296,10 +326,9 @@ class PhongRenderer:
 
             parts.append(vertex_tangents(verts_cam, self.faces, self.face_uv))
         parts.append(vertex_normals(verts_cam, self.faces))
-        parts.append(verts_cam)
         attrs = jnp.concatenate(parts, axis=-1)
         verts_screen = raster_jax.project_to_screen(verts_cam, K)
-        pix, _, _ = fragment_interpolate(
+        pix, mask, zbuf = fragment_interpolate(
             face_id, verts_screen, self.faces, attrs,
             corner_attrs_batched=corner_tex,
         )
@@ -309,8 +338,8 @@ class PhongRenderer:
             tangent = pix[..., :3]
             off = 3
         pix_n = pix[..., off : off + 3]
-        pix_p = pix[..., off + 3 : off + 6]
-        sampled = jnp.clip(pix[..., off + 6 : off + 6 + C], 0.0, 1.0)
+        pix_p = _pixel_ray_points(zbuf, mask, K, s.image_size)
+        sampled = jnp.clip(pix[..., off + 3 : off + 3 + C], 0.0, 1.0)
         texels = sampled[..., :3]
         normal_map = sampled[..., 3:6] if with_maps else None
         spec_map = sampled[..., 6:7] if with_maps else None

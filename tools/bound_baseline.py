@@ -44,6 +44,12 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 V100_PEAK_FP32 = 15.7e12
 UTIL_RANGE = (0.30, 0.60)
 RASTER_MS_RANGE_B32 = (10.0, 60.0)  # PyTorch3D fwd+bwd, 672^2, ~1.5k faces
+# NIMBLE: 11926 faces (7.8x) + 5990-vert textured Meshes at 672^2.  PyTorch3D
+# binned rasterisation scales sublinearly with F at fixed coverage, but
+# per-pixel texturing of the UV maps and the bigger packed meshes add real
+# cost; a deliberately generous window keeps the bound's top end high (i.e.
+# the target conservative).
+RASTER_MS_RANGE_NIMBLE_B32 = (15.0, 90.0)
 BATCH = 32
 
 
@@ -65,8 +71,8 @@ def measure_torch_cpu_resnet(batch: int = 2, steps: int = 3) -> float:
     return (time.perf_counter() - t0) / (steps * batch)
 
 
-def flops_no_render_step(batch: int = BATCH) -> float:
-    """XLA-reported FLOPs of one no-render flagship train step."""
+def flops_no_render_step(batch: int = BATCH, hand_model: str = "mano") -> float:
+    """XLA-reported FLOPs of one no-render train step (mano or nimble)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -78,7 +84,7 @@ def flops_no_render_step(batch: int = BATCH) -> float:
     from hifihr_tpu.training.steps import make_sched, make_train_step
     from hifihr_tpu.training.train_state import create_train_state
 
-    cfg = Config(pretrain="res50", hand_model="mano", render=False,
+    cfg = Config(pretrain="res50", hand_model=hand_model, render=False,
                  light_estimation=False, image_size=224,
                  losses=("joint_3d", "joint_2d", "vert_3d", "mscale",
                          "mshape", "mpose", "bone_direc"))
@@ -98,19 +104,31 @@ def flops_no_render_step(batch: int = BATCH) -> float:
 def main():
     cpu_s_per_img = measure_torch_cpu_resnet()
     flops = flops_no_render_step()
+    flops_nimble = flops_no_render_step(hand_model="nimble")
 
     lo_util, hi_util = UTIL_RANGE
-    t_nonraster = [flops / (V100_PEAK_FP32 * u) for u in (hi_util, lo_util)]
-    lo_ips = BATCH / (t_nonraster[1] + RASTER_MS_RANGE_B32[1] / 1e3)
-    hi_ips = BATCH / (t_nonraster[0] + RASTER_MS_RANGE_B32[0] / 1e3)
+
+    def bounds(fl, raster_ms):
+        t = [fl / (V100_PEAK_FP32 * u) for u in (hi_util, lo_util)]
+        return (round(BATCH / (t[1] + raster_ms[1] / 1e3), 1),
+                round(BATCH / (t[0] + raster_ms[0] / 1e3), 1))
+
+    lo_ips, hi_ips = bounds(flops, RASTER_MS_RANGE_B32)
+    lo_n, hi_n = bounds(flops_nimble, RASTER_MS_RANGE_NIMBLE_B32)
 
     record = {
-        "ref_gpu_images_per_sec_bounds": [round(lo_ips, 1), round(hi_ips, 1)],
+        "ref_gpu_images_per_sec_bounds": [lo_ips, hi_ips],
+        # the reference paper's flagship model (models_res_nimble.py:57):
+        # same derivation with the NIMBLE no-render FLOPs and a generous
+        # raster window for the 11926-face textured mesh
+        "ref_gpu_nimble_images_per_sec_bounds": [lo_n, hi_n],
         "derivation": {
             "no_render_step_flops_b32": flops,
+            "no_render_nimble_step_flops_b32": flops_nimble,
             "v100_peak_fp32_flops": V100_PEAK_FP32,
             "utilization_range": UTIL_RANGE,
             "raster_ms_range_b32_672sq": RASTER_MS_RANGE_B32,
+            "raster_ms_range_nimble_b32_672sq": RASTER_MS_RANGE_NIMBLE_B32,
         },
         "torch_cpu_resnet50_s_per_img": round(cpu_s_per_img, 3),
         "torch_cpu_anchor_note": (

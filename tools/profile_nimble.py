@@ -142,25 +142,33 @@ def _raster_ms(sort: bool = False):
     return _median_ms(run, verts, K)
 
 
-def _shade_ms():
+def _shade_ms(corner: bool = False):
     from hifihr_tpu.render.renderer import PhongRenderer, RenderSettings
 
     layer, verts, textures, K = _nimble_geom()
     renderer = PhongRenderer(layer.skin_faces,
                              RenderSettings(image_size=SIZE, aa_mode="msaa"),
                              face_uv=layer.face_uv_np,
-                             sort_template=layer.v_template_np)
+                             sort_template=layer.v_template_np,
+                             corner_mean=layer.corner_mean_np if corner else None,
+                             corner_basis=layer.corner_basis_np if corner else None)
     colors = jnp.ones((BATCH, verts.shape[1], 3), jnp.float32) * 0.5
+    rng = np.random.RandomState(1)
+    coef = jnp.asarray(rng.randn(BATCH, 10) * 0.1, jnp.float32)
 
     @jax.jit
-    def run(verts, textures):
-        def f(v, t):
+    def run(verts, textures, coef):
+        def f(v, t, c):
+            if corner:
+                rgba = renderer(v, colors, K, tex_coef=c)
+                return jnp.sum(rgba ** 2)
             rgba = renderer(v, colors, K, texture_image=t)
             return jnp.sum(rgba ** 2)
-        g = jax.grad(f, argnums=(0, 1))(verts, textures)
+        args = (2,) if corner else (1,)
+        g = jax.grad(f, argnums=(0,) + args)(verts, textures, coef)
         return g[0].sum() + g[1].sum()
 
-    return _median_ms(run, verts, textures)
+    return _median_ms(run, verts, textures, coef)
 
 
 def main():
@@ -172,6 +180,7 @@ def main():
         ("raster F=11926 (MSAA fwd)", _raster_ms),
         ("raster F=11926 morton-sorted", lambda: _raster_ms(sort=True)),
         ("shade textured (fwd+bwd)", _shade_ms),
+        ("shade corner-tex (fwd+bwd)", lambda: _shade_ms(corner=True)),
         ("train step, no render", lambda: _train_step_ms(False)),
         ("train step, full nimble", lambda: _train_step_ms(True)),
     ]
