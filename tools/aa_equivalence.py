@@ -41,9 +41,13 @@ def run_one(aa_mode: str, epochs: int) -> dict:
     from hifihr_tpu.training.loop import Trainer
     from train import build_loaders, load_eval_gt
 
+    # batch 8 for BOTH arms: the SSAA arm's supersampled activations OOM HBM
+    # at the smoke config's batch 16 (24.1G vs 15.75G — this is what killed
+    # the round-3 attempt); the comparison stays like-for-like.
     config = Config.from_json(
         os.path.join(ROOT, "configs/smoke_render.json"), aa_mode=aa_mode,
-        total_epochs=epochs, base_out_path=f"output/aa_equiv_{aa_mode}")
+        total_epochs=epochs, train_batch=8, val_batch=8,
+        base_out_path=f"output/aa_equiv_{aa_mode}")
     os.makedirs(config.base_out_path, exist_ok=True)
 
     model = HiFiHR(config=config)
@@ -58,12 +62,16 @@ def run_one(aa_mode: str, epochs: int) -> dict:
     trainer = Trainer(config, model, train_loader, val_loader,
                       eval_gt=eval_gt, out_dir=config.base_out_path)
     t0 = time.perf_counter()
+    curve = []
+    ev = {}
     for epoch in range(epochs):
         trainer.train_epoch(epoch)
-    ev = trainer.evaluate(epochs - 1)
+        ev = trainer.evaluate(epoch)
+        curve.append(round(float(ev.get("pa_mpjpe_cm", float("nan"))), 4))
     wall = time.perf_counter() - t0
     keep = {k: float(v) for k, v in ev.items()
             if isinstance(v, (int, float)) and k not in ("epoch",)}
+    keep["pa_mpjpe_cm_curve"] = curve
     keep["wall_s"] = round(wall, 1)
     return keep
 
@@ -80,7 +88,7 @@ def main():
         print(mode, out[mode])
     deltas = {}
     for k in out["msaa"]:
-        if k in out["ssaa"] and k != "wall_s":
+        if k in out["ssaa"] and isinstance(out["msaa"][k], float) and k != "wall_s":
             deltas[k] = round(out["msaa"][k] - out["ssaa"][k], 6)
     out["msaa_minus_ssaa"] = deltas
     with open(os.path.join(ROOT, "AA_EQUIVALENCE.json"), "w") as f:
