@@ -145,6 +145,10 @@ class Config:
     # assets/imagenet_<pretrain>.npz if present
     encoder_imagenet_npz: str | None = None
 
+    # init seed for params (Trainer); the reference relies on torch's global
+    # default seeding — an explicit knob enables seed-variance experiments
+    seed: int = 0
+
     # logging
     base_out_path: str = "output/debug"
     demo_freq: int = 100

@@ -90,8 +90,16 @@ def fragment_interpolate(
     e1 = (ax - cx) * (v - cy) - (ay - cy) * (u - cx)
     e2 = (bx - ax) * (v - ay) - (by - ay) * (u - ax)
     area = e0 + e1 + e2
-    area = jnp.where(jnp.abs(area) < 1e-12, 1e-12, area)
-    w_affine = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]
+    # DEGENERATE-FACE GUARD, gradient-aware: w = e/area has gradient ~1/area;
+    # with a fuzz-level eps (1e-12) the MSAA-selected slivers produced 1e27
+    # verts-gradients ON TPU, overflowing Adam's second moment to inf and
+    # permanently freezing encoder params (the aa-equivalence MSAA arm
+    # plateaued at PA-MPJPE ~1.8 vs SSAA 0.57 from exactly this).  A face
+    # under 1e-4 px^2 carries no visual signal: route it through a CONSTANT
+    # area so no 1/area gradient exists, and give it uniform barycentrics.
+    degenerate = jnp.abs(area) < 1e-4
+    area_safe = jnp.where(degenerate, 1.0, area)
+    w_affine = jnp.stack([e0, e1, e2], axis=-1) / area_safe[..., None]
 
     z_tri = jnp.stack([az, bz, cz], axis=-1)
     z_tri = jnp.where(jnp.abs(z_tri) < 1e-8, 1e-8, z_tri)
@@ -99,11 +107,22 @@ def fragment_interpolate(
     denom = jnp.sum(wp, axis=-1, keepdims=True)
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     bary = wp / denom  # (B, H, W, 3) perspective-correct
-    # sliver guard: a near-degenerate face that wins a pixel would otherwise
-    # produce unbounded barycentrics (area -> 0).  [-4, 5] is identity for
-    # every sane pixel (interior is [0, 1], silhouette centres go slightly
-    # outside) but bounds the attrs a pathological face can contribute.
-    bary = jnp.clip(bary, -4.0, 5.0)
+    # SIMPLEX projection, not a loose clip: this path serves the MSAA
+    # renderer, whose selection covers pixels whose CENTER lies outside the
+    # face (any-subsample coverage).  There the raw barycentrics EXTRAPOLATE;
+    # extrapolated attribute values/gradients measurably poison training
+    # (PA-MPJPE plateau 3.2 vs 0.6 before this clamp).  Clamping to the
+    # simplex samples the nearest boundary point instead: interior pixels
+    # are untouched (already in the simplex), silhouette pixels get valid
+    # on-face attributes.
+    bary = jnp.clip(bary, 0.0, 1.0)
+    ssum = jnp.sum(bary, axis=-1, keepdims=True)
+    # a healthy selected face has at least one O(1) weight (ssum >= ~1/3);
+    # tiny ssum means a pathological face — uniform constant weights, no
+    # gradient through the huge 1/ssum renormalisation
+    good = jnp.logical_and(~degenerate[..., None], ssum > 0.3)
+    bary = jnp.where(good, bary / jnp.maximum(ssum, 0.3),
+                     jnp.full_like(bary, 1.0 / 3.0))
 
     attrs3 = pix[..., 9 : 9 + 3 * D].reshape(B, H, W, 3, D)
     if Ds:
@@ -114,7 +133,10 @@ def fragment_interpolate(
     # positions/normals visibly (bf16 ulp at 224 px is ~1)
     out = jnp.einsum("bhwk,bhwkd->bhwd", bary, attrs3, precision="highest")
     mask = (face_id >= 0).astype(verts_screen.dtype)
-    zbuf = jnp.where(face_id >= 0, 1.0 / denom[..., 0], jnp.inf)
+    # depth at the (possibly simplex-clamped) sample point: with perspective-
+    # correct weights, sum(bary_i * z_i) == 1/sum(w_affine_i/z_i) exactly on
+    # the interior, and stays the boundary point's depth when clamped
+    zbuf = jnp.where(face_id >= 0, jnp.sum(bary * z_tri, axis=-1), jnp.inf)
     return out * mask[..., None], mask, zbuf
 
 

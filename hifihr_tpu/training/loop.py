@@ -97,7 +97,7 @@ class Trainer:
         sample = next(iter(train_loader))
         batch = {k: jnp.asarray(v) for k, v in sample.items() if not isinstance(v, str)}
         self.state = create_train_state(
-            model, config, jax.random.PRNGKey(0), batch,
+            model, config, jax.random.PRNGKey(config.seed), batch,
             steps_per_epoch=max(len(train_loader), 1),
         )
         self.state = replicate(self.state, self.mesh)
