@@ -16,7 +16,7 @@ import json
 with open("configs/longrun_smoke.json") as f:
     cfg = json.load(f)
 cfg["total_epochs"] = 30
-cfg["pretrain_model"] = "output/longrun_smoke"
+cfg["pretrain_model"] = "output/longrun_smoke/model"  # Trainer saves under <out>/model
 with open("/tmp/longrun_resume.json", "w") as f:
     json.dump(cfg, f)
 EOF
