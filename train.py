@@ -94,6 +94,16 @@ def main():
     parser.add_argument("--mode", type=str, default=None, choices=["training", "evaluation"])
     args = parser.parse_args()
 
+    import jax
+
+    # persistent compile cache shared with bench.py/tools: the flagship step
+    # takes minutes to compile cold on the remote-compile TPU path
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.cache/hifihr_jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from hifihr_tpu.config import Config
     from hifihr_tpu.models.hifihr import HiFiHR
     from hifihr_tpu.training.loop import Trainer
