@@ -352,7 +352,7 @@ class Trainer:
                              if self.config.save_3d else "pred.json"),
                 xyz_pred, verts_pred, dat_name=dat_name,
             )
-        self._log({"eval": result})
+        self._log({"epoch": epoch, "eval": result})
         return result
 
     def _demo_dump(self, path: str, examples: dict, outputs: dict, epoch: int):

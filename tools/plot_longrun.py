@@ -18,12 +18,16 @@ LOG = os.path.join("output", "longrun_smoke", "train_log.jsonl")
 
 def load(path=LOG):
     train, evals = [], []
+    last_epoch = 0
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
             if "eval" in rec:
-                evals.append({"epoch": rec.get("epoch"), **rec["eval"]})
+                # rows from builds predating the epoch tag: an eval always
+                # follows the train rows of its epoch, so attribute it there
+                evals.append({"epoch": rec.get("epoch", last_epoch), **rec["eval"]})
             elif "loss" in rec or "total" in rec:
+                last_epoch = rec.get("epoch", last_epoch)
                 train.append(rec)
     return train, evals
 
