@@ -5,6 +5,7 @@ losses.py:14-44; traineval_util.py:505-596)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.config import Config
 from hifihr_tpu.losses.stack import LossComputer
@@ -62,6 +63,7 @@ def test_rgb2hm_outputs_and_losses(rng):
         assert k in d and np.isfinite(float(d[k])) and float(d[k]) > 0, k
 
 
+@pytest.mark.slow
 def test_freeze_hm_estimator_and_texture_freeze(rng):
     from hifihr_tpu.losses.stack import LossComputer
     from hifihr_tpu.training.steps import make_sched, make_train_step

@@ -23,6 +23,7 @@ def _to_jnp(batch):
     return {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
 
 
+@pytest.mark.slow
 def test_sharded_train_step_loss_decreases():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     cfg = Config(
@@ -51,6 +52,7 @@ def test_sharded_train_step_loss_decreases():
     assert len(batch["imgs"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_fsdp_mesh_train_step():
     """Hybrid DP+FSDP on a (4,2) mesh: params shard over 'fsdp', batch over
     both axes, and the step matches the pure-DP result (same math, different

@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hifihr_tpu.render.texture import cylindrical_uv, sample_texture
 
@@ -109,6 +110,7 @@ def test_textured_render_gradient_to_texture():
     assert float(jnp.sum(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_nimble_model_end_to_end_uv_render(rng):
     from hifihr_tpu.config import Config
     from hifihr_tpu.models.hifihr import HiFiHR

@@ -121,6 +121,7 @@ def test_lpips_conversion_parity(tmp_path):
     assert float(jnp.max(jnp.abs(metric(_nhwc(img0), _nhwc(img0))))) < 1e-6
 
 
+@pytest.mark.slow
 def test_efficientnet_conversion_parity(tmp_path):
     """Parity against the reference's OWN vendored torch EfficientNet
     (network/efficientnet_pt/model.py) — the exact net its checkpoints load."""
@@ -155,6 +156,7 @@ def test_efficientnet_conversion_parity(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_hrnet_conversion_roundtrip(tmp_path):
     """No releasable HRNet checkpoint is on disk, so validate the mapping
     structurally: synthesize an official-naming state_dict shaped after our

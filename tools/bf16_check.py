@@ -102,6 +102,12 @@ def train_smoke(compute_dtype: str, epochs: int) -> dict:
     return out
 
 
+def _flush(record):
+    # incremental write: a wall-clock-killed run still leaves the artifact
+    with open(os.path.join(ROOT, "BF16_CHECK.json"), "w") as f:
+        json.dump(record, f, indent=2)
+
+
 def main():
     logging.basicConfig(level=logging.INFO)
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -113,19 +119,21 @@ def main():
             key = f"{enc}_{dt}_step_ms"
             record[key] = round(step_ms(enc, dt), 1)
             print(key, record[key], flush=True)
+            _flush(record)
         record[f"{enc}_speedup_bf16"] = round(
             record[f"{enc}_float32_step_ms"] / record[f"{enc}_bfloat16_step_ms"], 3)
+        _flush(record)
     for dt in ("bfloat16", "float32"):
         record[f"train_{dt}"] = train_smoke(dt, epochs)
         print(dt, record[f"train_{dt}"], flush=True)
+        _flush(record)
     deltas = {}
     for k, v in record["train_bfloat16"].items():
         w = record["train_float32"].get(k)
         if isinstance(v, float) and isinstance(w, float):
             deltas[k] = round(v - w, 6)
     record["bf16_minus_fp32"] = deltas
-    with open(os.path.join(ROOT, "BF16_CHECK.json"), "w") as f:
-        json.dump(record, f, indent=2)
+    _flush(record)
     print(json.dumps(deltas))
 
 
