@@ -50,7 +50,8 @@ class HO3D:
         self.seq_dir = os.path.join(
             base_path, "train" if self.split == "train" else "evaluation"
         )
-        # openpose pseudo-labels: per-sequence detect.json (dataset.py:1960-1964)
+        # openpose pseudo-labels: base_path/openpose/<seq>/detect.json holding
+        # [coords_per_frame, confs_per_frame] (dataset.py:1960-1964, 2046-2057)
         self._open2dj_cache: dict[str, list | None] = {}
 
     def __len__(self) -> int:
@@ -60,14 +61,14 @@ class HO3D:
         if seq not in self._open2dj_cache:
             import json
 
-            path = os.path.join(self.seq_dir, seq, "detect.json")
+            path = os.path.join(self.base_path, "openpose", seq, "detect.json")
             self._open2dj_cache[seq] = (
                 json.load(open(path)) if os.path.exists(path) else None
             )
         det = self._open2dj_cache[seq]
         if det is None:
             return None, None
-        j, con = det[frame_idx][:2]
+        j, con = det[0][frame_idx], det[1][frame_idx]
         return (
             np.asarray(j, np.float32).reshape(21, -1)[:, :2],
             np.asarray(con, np.float32).reshape(21, 1),

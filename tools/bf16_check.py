@@ -103,9 +103,13 @@ def train_smoke(compute_dtype: str, epochs: int) -> dict:
 
 
 def _flush(record):
-    # incremental write: a wall-clock-killed run still leaves the artifact
-    with open(os.path.join(ROOT, "BF16_CHECK.json"), "w") as f:
+    # incremental + atomic: a wall-clock kill mid-write cannot truncate the
+    # artifact (write temp in the same dir, then rename over the target)
+    target = os.path.join(ROOT, "BF16_CHECK.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f, indent=2)
+    os.replace(tmp, target)
 
 
 def main():
