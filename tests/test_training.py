@@ -95,6 +95,31 @@ def test_fsdp_mesh_train_step():
     assert all(len(leaf.sharding.device_set) == 8 for leaf in sharded)
 
 
+def test_sharded_train_step_smoke_fast():
+    """Fast-tier SPMD smoke: one sharded train step on the 8-device mesh.
+    Keeps the default `-m "not slow"` tier exercising make_train_step under
+    real batch sharding (the full loss-decrease / FSDP checks stay slow-tier,
+    ADVICE r4)."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    cfg = Config(
+        pretrain="res18", hand_model="mano", render=False, light_estimation=False,
+        image_size=S, losses=("joint_3d", "mshape"),
+    )
+    model = HiFiHR(config=cfg)
+    ds = SyntheticHandDataset(size=8, image_size=S)
+    batch = _to_jnp(next(iter(BatchLoader(ds, batch_size=8, shuffle=False))))
+
+    mesh = make_mesh()
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    step = make_train_step(model, LossComputer(cfg), "FreiHand", cfg)
+    state1, loss_dic = step(state, batch, make_sched(cfg, 0))
+    assert np.isfinite(float(loss_dic["total"]))
+    assert int(state1.step) == int(state.step) + 1
+    assert len(batch["imgs"].sharding.device_set) == 8
+
+
 def test_lr_schedule_multistep():
     cfg = Config(init_lr=1e-3, lr_steps=(2,), lr_gamma=0.1)
     sched = make_lr_schedule(cfg, steps_per_epoch=10)
