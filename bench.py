@@ -100,13 +100,20 @@ def _measure(aa_mode: str, batch_size: int, steps: int,
     return batch_size / float(np.median(times))
 
 
-def _measure_real_data(batch_size: int = BATCH, epochs: int = 2):
+def _measure_real_data(batch_size: int = BATCH, epochs: int = 2,
+                       decode_cache: str | None = None):
     """End-to-end REAL-DATA training throughput (VERDICT r2 task #1): on-disk
     JPEG fixture -> native decode -> native affine warp (rotation aug + K
     update) -> worker-threaded collate -> prefetch H2D -> the same jitted
     train step as the synthetic measure.  First epoch warms (compile +
     page cache); the second is timed wall-clock with one final sync — the
-    same sync discipline the Trainer's sync-free loop uses."""
+    same sync discipline the Trainer's sync-free loop uses.
+
+    `decode_cache` routes image/mask decode through the one-time uint8 mmap
+    snapshot (data/cache.py): epoch 1 fills it, later epochs are decode-free
+    — the reference re-decodes every JPEG every epoch, so the cached number
+    measures the framework's pipeline, the uncached one measures libjpeg on
+    this host's single core (HOST_PROFILE.json)."""
     import numpy as np_
 
     from hifihr_tpu.config import Config
@@ -133,6 +140,7 @@ def _measure_real_data(batch_size: int = BATCH, epochs: int = 2):
         fixture, split="training", db_size=n_img, n_versions=1,
         queries=("trans_images", "trans_Ks", "trans_joints", "trans_verts",
                  "scales", "trans_masks", "open_2dj"),
+        decode_cache=decode_cache,
     )
     loader = BatchLoader(ds, batch_size, num_workers=cfg.num_workers,
                          prefetch_batches=3)
@@ -243,6 +251,15 @@ def main():
     # (near-zero marginal compile), and it is the round's most important claim
     if os.environ.get("BENCH_REAL_DATA", "1") != "0":
         _extra(record, "train_images_per_sec_real_data", _measure_real_data)
+        # decoded-uint8 snapshot mode (VERDICT r4 task #4): epoch 1 fills the
+        # mmap, the timed epoch is decode-free — measures the framework's
+        # warp/collate/H2D pipeline instead of libjpeg on this 1-core host
+        _extra(record, "train_images_per_sec_real_data_cached",
+               lambda: _measure_real_data(
+                   epochs=3,
+                   decode_cache=os.environ.get(
+                       "HIFIHR_DECODE_CACHE", "/tmp/hifihr_decode_cache"),
+               ))
     # the config bank's majority cases (VERDICT r2 task #3): ~20/37
     # encoder-bearing configs run effb3; NIMBLE is the paper's flagship model
     if os.environ.get("BENCH_VARIANTS", "1") != "0":

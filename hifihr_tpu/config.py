@@ -59,6 +59,10 @@ class Config:
     # 'msaa' = in-kernel subsample coverage (fast; identical silhouette alpha);
     # 'ssaa' = reference-exact supersampled shading + average pool
     aa_mode: str = "msaa"
+    # NIMBLE appearance path: corner-sampled PCA (fast, default) vs
+    # per-fragment UV sampling (reference-structured; the equivalence
+    # experiment arm — AA_EQUIVALENCE.json 'corner' section)
+    nimble_corner_tex: bool = True
     # heatmap branch (reference rgb2hm stacked hourglass; train_utils.py:104-111)
     rgb2hm: bool = False
     freeze_hm_estimator: bool = False
@@ -131,6 +135,9 @@ class Config:
     train_batch: int = 8
     val_batch: int = 8
     num_workers: int = 8
+    # one-time decoded-uint8 snapshot dir for the input pipeline (epoch 2+
+    # skips JPEG decode entirely; "" disables). See data/cache.py.
+    decode_cache: str = ""
     save_interval: int = 1
     save_mode: str = "separately"
     only_train_regressor: bool = False

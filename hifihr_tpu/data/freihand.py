@@ -75,11 +75,17 @@ class FreiHand:
         four_channel: bool = False,
         db_size: int | None = None,
         n_versions: int = N_COLOR_VERSIONS,
+        decode_cache: str | None = None,
     ):
         """`db_size`/`n_versions` override the hardcoded FreiHAND geometry
         (32560 frames x 4 color versions) so FreiHAND-format fixture sets of
         any size load through the exact same code path (bench.py's real-data
-        throughput measurement uses this)."""
+        throughput measurement uses this).
+
+        `decode_cache` names a directory for a one-time decoded-uint8 mmap
+        snapshot of images and masks (data/cache.py): the reference
+        re-decodes every JPEG every epoch; with the cache, epoch 2+ decode
+        is a page-cache read and only the per-epoch random warp remains."""
         self.base_path = base_path
         self.split = split
         self.queries = tuple(queries)
@@ -92,6 +98,12 @@ class FreiHand:
         )
         self.n_versions = n_versions
         self._rng = np.random.RandomState(0)
+        self.decode_cache = decode_cache
+        self._img_cache = self._mask_cache = None
+        if decode_cache:
+            import threading
+
+            self._cache_lock = threading.Lock()
 
         prefix = "evaluation" if split == "evaluation" else "training"
         self.img_dir = os.path.join(base_path, prefix, "rgb")
@@ -133,21 +145,53 @@ class FreiHand:
     def _gt_idx(self, idx: int) -> int:
         return idx % self.db_size if self.split != "evaluation" else idx
 
+    def _cached(self, which: str, n: int, idx: int, decode_fn) -> np.ndarray:
+        """Serve frame `idx` through the decoded-uint8 snapshot (lazy init:
+        the first decode discovers the frame shape)."""
+        cache = getattr(self, f"_{which}_cache")
+        if cache is None:
+            with self._cache_lock:
+                cache = getattr(self, f"_{which}_cache")
+                if cache is None:
+                    from hifihr_tpu.data.cache import DecodedFrameCache
+
+                    key = f"{self.img_dir}|{which}"
+                    cache = DecodedFrameCache.lookup(self.decode_cache, key, n)
+                    if cache is None:  # first process ever: decode one frame
+                        first = np.ascontiguousarray(decode_fn(), np.uint8)
+                        cache = DecodedFrameCache(
+                            self.decode_cache, key, n, first.shape
+                        )
+                        setattr(self, f"_{which}_cache", cache)
+                        return cache.get(idx, lambda: first)
+                    setattr(self, f"_{which}_cache", cache)
+        return cache.get(idx, decode_fn)
+
     def get_img(self, idx: int, as_u8: bool = False) -> np.ndarray:
-        return _load_image(
-            os.path.join(self.img_dir, "%08d.jpg" % idx), as_u8=as_u8
-        )
+        path = os.path.join(self.img_dir, "%08d.jpg" % idx)
+        if self.decode_cache:
+            n = self.db_size * (1 if self.split == "evaluation" else self.n_versions)
+            arr = self._cached("img", n, idx,
+                               lambda: _load_image(path, as_u8=True))
+            return arr if as_u8 else arr.astype(np.float32) / 255.0
+        return _load_image(path, as_u8=as_u8)
 
     def get_mask(self, idx: int, as_u8: bool = False) -> np.ndarray:
-        m = _load_image(
-            os.path.join(self.mask_dir, "%08d.jpg" % (idx % self.db_size)),
-            as_u8=True,
-        )
-        if m.ndim == 3:
-            m = m[..., 0]
-        # binarize before any warp (same threshold as np.round(m/255))
-        m = m >= 128
-        return (m.astype(np.uint8) * 255) if as_u8 else m.astype(np.float32)
+        def decode() -> np.ndarray:
+            m = _load_image(
+                os.path.join(self.mask_dir, "%08d.jpg" % (idx % self.db_size)),
+                as_u8=True,
+            )
+            if m.ndim == 3:
+                m = m[..., 0]
+            # binarize before any warp (same threshold as np.round(m/255))
+            return (m >= 128).astype(np.uint8) * 255
+
+        if self.decode_cache:
+            m = self._cached("mask", self.db_size, idx % self.db_size, decode)
+        else:
+            m = decode()
+        return m if as_u8 else (m > 0).astype(np.float32)
 
     def get_crfmask(self, idx: int) -> np.ndarray:
         """CRF-refined mask for the base frame (idx % db_size, reference

@@ -224,11 +224,15 @@ class HiFiHR(nn.Module):
                                aa_mode=cfg.aa_mode, with_depth=True),
                 vert_uv=vert_uv, face_uv=face_uv, sort_template=sort_template,
                 # corner-sampled appearance (fast path; renderer falls back
-                # to per-fragment UV sampling when absent or in ssaa mode)
+                # to per-fragment UV sampling when absent, in ssaa mode, or
+                # when config.nimble_corner_tex disables it for the
+                # training-equivalence arm)
                 corner_mean=(self.nimble.corner_mean_np
-                             if cfg.hand_model == "nimble" else None),
+                             if cfg.hand_model == "nimble"
+                             and cfg.nimble_corner_tex else None),
                 corner_basis=(self.nimble.corner_basis_np
-                              if cfg.hand_model == "nimble" else None),
+                              if cfg.hand_model == "nimble"
+                              and cfg.nimble_corner_tex else None),
             )
             if light_params is not None:
                 light = DirectionalLight.from_estimator(

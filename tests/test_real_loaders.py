@@ -191,6 +191,42 @@ def test_fit_ortho_param_exact():
     np.testing.assert_allclose(got, [f, tx, ty], rtol=1e-4)
 
 
+def test_freihand_decode_cache(freihand_root, monkeypatch, tmp_path):
+    """Decoded-uint8 snapshot (data/cache.py): cached samples are
+    bit-identical to uncached, and after the fill pass the decoder is never
+    called again (epoch 2+ is decode-free)."""
+    import hifihr_tpu.data.freihand as fh
+
+    monkeypatch.setattr(fh, "DB_SIZE_TRAIN", 3)
+    q = ("images", "Ks", "joints", "masks", "scales")
+    ds_plain = fh.FreiHand(freihand_root, split="training", queries=q,
+                           train=False)
+    ds_cache = fh.FreiHand(freihand_root, split="training", queries=q,
+                           train=False, decode_cache=str(tmp_path / "dc"))
+    plain = [ds_plain.get_sample(i) for i in range(3)]
+    for i in range(3):
+        b = ds_cache.get_sample(i)
+        np.testing.assert_array_equal(plain[i]["imgs"], b["imgs"])
+        np.testing.assert_array_equal(plain[i]["segms_gt"], b["segms_gt"])
+    assert ds_cache._img_cache.n_filled == 3
+    assert ds_cache._mask_cache.n_filled == 3
+
+    # epoch 2: no decode calls allowed
+    def boom(path, as_u8=False):
+        raise AssertionError(f"decoder called on cached frame: {path}")
+
+    monkeypatch.setattr(fh, "_load_image", boom)
+    s = ds_cache.get_sample(1)
+    np.testing.assert_array_equal(s["imgs"], plain[1]["imgs"])
+
+    # a NEW loader instance (fresh process/epoch-resume) reuses the snapshot
+    # through the sidecar meta with zero decode work
+    ds2 = fh.FreiHand(freihand_root, split="training", queries=q,
+                      train=False, decode_cache=str(tmp_path / "dc"))
+    s2 = ds2.get_sample(0)
+    np.testing.assert_array_equal(s2["imgs"], plain[0]["imgs"])
+
+
 def test_four_channel_heatmap(freihand_root, monkeypatch):
     import hifihr_tpu.data.freihand as fh
 

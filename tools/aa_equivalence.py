@@ -35,7 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(aa_mode: str, epochs: int) -> dict:
+def run_one(aa_mode: str, epochs: int, **overrides) -> dict:
     from hifihr_tpu.config import Config
     from hifihr_tpu.models.hifihr import HiFiHR
     from hifihr_tpu.training.loop import Trainer
@@ -44,10 +44,11 @@ def run_one(aa_mode: str, epochs: int) -> dict:
     # batch 8 for BOTH arms: the SSAA arm's supersampled activations OOM HBM
     # at the smoke config's batch 16 (24.1G vs 15.75G — this is what killed
     # the round-3 attempt); the comparison stays like-for-like.
+    tag = overrides.pop("tag", aa_mode)
     config = Config.from_json(
         os.path.join(ROOT, "configs/smoke_render.json"), aa_mode=aa_mode,
         total_epochs=epochs, train_batch=8, val_batch=8,
-        base_out_path=f"output/aa_equiv_{aa_mode}")
+        base_out_path=f"output/aa_equiv_{tag}", **overrides)
     os.makedirs(config.base_out_path, exist_ok=True)
 
     model = HiFiHR(config=config)
@@ -76,9 +77,27 @@ def run_one(aa_mode: str, epochs: int) -> dict:
     return keep
 
 
-def main():
-    logging.basicConfig(level=logging.INFO)
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+def _deltas(a: dict, b: dict) -> dict:
+    return {k: round(a[k] - b[k], 6) for k in a
+            if k in b and isinstance(a[k], float) and k != "wall_s"}
+
+
+def _merge_write(update: dict) -> None:
+    """Merge into AA_EQUIVALENCE.json (atomic) so the aa and corner
+    experiments accumulate in one artifact."""
+    path = os.path.join(ROOT, "AA_EQUIVALENCE.json")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    out.update(update)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=2)
+    os.replace(tmp, path)
+
+
+def run_aa(epochs: int) -> None:
     out = {"config": "configs/smoke_render.json", "epochs": epochs,
            "note": ("same seed/data/steps; aa_mode is the only delta. "
                     "MSAA shades once per pixel with in-kernel 3x3 coverage; "
@@ -86,14 +105,48 @@ def main():
     for mode in ("msaa", "ssaa"):
         out[mode] = run_one(mode, epochs)
         print(mode, out[mode])
-    deltas = {}
-    for k in out["msaa"]:
-        if k in out["ssaa"] and isinstance(out["msaa"][k], float) and k != "wall_s":
-            deltas[k] = round(out["msaa"][k] - out["ssaa"][k], 6)
-    out["msaa_minus_ssaa"] = deltas
-    with open(os.path.join(ROOT, "AA_EQUIVALENCE.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    out["msaa_minus_ssaa"] = _deltas(out["msaa"], out["ssaa"])
+    _merge_write(out)
     print(json.dumps(out["msaa_minus_ssaa"]))
+
+
+def run_corner(epochs: int) -> None:
+    """NIMBLE appearance-path equivalence (VERDICT r4 task #5): the round-4
+    speedup replaced per-fragment UV sampling of the PCA texture maps
+    (reference textured Meshes, models_res_nimble.py:132-142) with
+    barycentric interpolation of the PCA evaluated at face-corner UVs —
+    a second gradient-structure deviation.  Train both arms, same
+    seed/data/steps, nimble_corner_tex the only delta."""
+    arms = {}
+    for name, corner in (("corner", True), ("perfrag", False)):
+        arms[name] = run_one("msaa", epochs, hand_model="nimble",
+                             nimble_corner_tex=corner, tag=f"nimble_{name}")
+        print(name, arms[name])
+    _merge_write({
+        "corner_experiment": {
+            "config": "configs/smoke_render.json + hand_model=nimble",
+            "epochs": epochs,
+            "note": ("same seed/data/steps; nimble_corner_tex is the only "
+                     "delta: corner-sampled PCA appearance vs per-fragment "
+                     "UV sampling of the PCA texture maps."),
+            "corner": arms["corner"],
+            "perfrag": arms["perfrag"],
+            "corner_minus_perfrag": _deltas(arms["corner"], arms["perfrag"]),
+        }
+    })
+    print(json.dumps(_deltas(arms["corner"], arms["perfrag"])))
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    experiment = sys.argv[2] if len(sys.argv) > 2 else "aa"
+    if experiment == "aa":
+        run_aa(epochs)
+    elif experiment == "corner":
+        run_corner(epochs)
+    else:
+        raise SystemExit(f"unknown experiment {experiment!r} (aa | corner)")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,8 @@ def build_loaders(config):
 
                 return FreiHand(config.freihand_base_path, split=split,
                                 queries=queries, semi_ratio=config.semi_ratio,
-                                four_channel=config.four_channel)
+                                four_channel=config.four_channel,
+                                decode_cache=config.decode_cache or None)
             logging.warning("FreiHAND data not found; using the synthetic stand-in")
             size = config.controlled_size if config.controlled_exp else 256
             return SyntheticHandDataset(size=size, image_size=config.image_size)
