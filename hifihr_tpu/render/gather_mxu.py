@@ -17,14 +17,18 @@ Design notes (v5e-measured):
     pre-blocked on a leading dim at 1024 rows: the (fblk, pblk) one-hot
     scratch (8 MB bf16) dominates the ~16 MB VMEM budget, and fewer/larger
     programs amortise per-program overhead.
-  * PER-BLOCK ROW-RANGE SKIP: each pixel block's index min/max (computed on
-    the XLA side, one cheap reduce) rides in SMEM; the kernel's table loop
-    runs only over the touched 1024-row blocks.  With spatially coherent
-    row ids (the renderer Morton-sorts faces, renderer.morton_face_order)
-    a pixel band references a narrow id range — background-only blocks do
-    ZERO table work, covered bands visit a fraction of the blocks.  Exact:
-    skipped blocks match no index, so they contribute exact zeros (forward)
-    and receive exact-zero gradient contributions (backward).
+  * PER-BLOCK TOUCHED-LIST SKIP: each pixel block carries a COMPACTED LIST
+    (SMEM, -1-terminated) of exactly the table blocks its indices touch,
+    built on the XLA side by the same cumsum/count-compare compaction the
+    rasteriser's bin lists use; the kernel walks only those blocks.  A
+    min/max RANGE (the earlier design) degenerates under Morton face
+    ordering: a horizontal pixel band cuts across the 3-D Z-curve, so its
+    face ids form several narrow clusters spread over most of the id space
+    — the lo..hi walk visited ~all blocks while the exact list visits only
+    the clusters.  Background-only blocks have an empty list and do ZERO
+    table work.  Exact: skipped blocks match no index, so they contribute
+    exact zeros (forward) and receive exact-zero gradient contributions
+    (backward).
   * near-fp32 from a bf16 MXU: the one-hot operand is exactly representable
     in bf16, so only the value operand needs a hi/lo split
     (v = hi + lo, hi = bf16(v), lo = bf16(v - hi)): TWO bf16 passes with f32
@@ -45,40 +49,45 @@ Design notes (v5e-measured):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PBLK = 4096  # pixels per program
-_FBLK = 1024  # table rows per in-kernel step; onehot scratch (1024, 4096) bf16
+_PBLK = int(os.environ.get("HIFIHR_GATHER_PBLK", "4096"))  # pixels per program
+# table rows per in-kernel step; onehot scratch (fblk, pblk) bf16
+_FBLK = int(os.environ.get("HIFIHR_GATHER_FBLK", "1024"))
 
 
-def _fwd_kernel(idx_ref, rng_ref, hilo_ref, out_ref, *, fblk: int, nfb: int,
-                pblk: int, d: int):
+def _fwd_kernel(idx_ref, lst_ref, hilo_ref, out_ref, *, fblk: int, nfb: int,
+                pblk: int, d: int, n_slots: int):
     idx = idx_ref[0, 0]  # (1, pblk) int32
-    lo = rng_ref[0, 0, 0, 0]  # first touched table block
-    hi = rng_ref[0, 0, 0, 1]  # last touched block (inclusive; hi < lo = none)
     base = jax.lax.broadcasted_iota(jnp.int32, (fblk, pblk), 0)
 
-    def body(fj, acc):
+    def cond(carry):
+        k, _ = carry
+        return jnp.logical_and(k < n_slots, lst_ref[0, 0, 0, k] >= 0)
+
+    def body(carry):
+        k, acc = carry
+        fj = lst_ref[0, 0, 0, k]
         j = base + fj * fblk
         onehot = (j == idx).astype(jnp.bfloat16)  # -1 matches none
         hilo = hilo_ref[0, fj]  # (2d, fblk) — dynamic leading-dim index
-        return acc + jnp.dot(hilo, onehot, preferred_element_type=jnp.float32)
+        return k + 1, acc + jnp.dot(hilo, onehot,
+                                    preferred_element_type=jnp.float32)
 
     acc = jnp.zeros((2 * d, pblk), jnp.float32)
-    acc = jax.lax.fori_loop(lo, hi + 1, body, acc)
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
     out_ref[0] = acc[:d] + acc[d:]  # hi + lo halves -> (d, pblk) f32
 
 
-def _bwd_kernel(idx_ref, rng_ref, ghilo_ref, dtab_ref, *, fblk: int, nfb: int,
-                pblk: int, d: int):
+def _bwd_kernel(idx_ref, lst_ref, ghilo_ref, dtab_ref, *, fblk: int, nfb: int,
+                pblk: int, d: int, n_slots: int):
     pj = pl.program_id(1)
     idx = idx_ref[0, 0]  # (1, pblk)
-    lo = rng_ref[0, 0, 0, 0]
-    hi = rng_ref[0, 0, 0, 1]
     g = ghilo_ref[0]  # (2d, pblk)
     base = jax.lax.broadcasted_iota(jnp.int32, (fblk, pblk), 0)
 
@@ -86,7 +95,11 @@ def _bwd_kernel(idx_ref, rng_ref, ghilo_ref, dtab_ref, *, fblk: int, nfb: int,
     def _init():
         dtab_ref[0] = jnp.zeros_like(dtab_ref[0])
 
-    def body(fj, _):
+    def cond(k):
+        return jnp.logical_and(k < n_slots, lst_ref[0, 0, 0, k] >= 0)
+
+    def body(k):
+        fj = lst_ref[0, 0, 0, k]
         j = base + fj * fblk
         onehot = (j == idx).astype(jnp.bfloat16)  # (fblk, pblk)
         # contract pblk of g with pblk (dim 1) of onehot: g @ onehot^T
@@ -95,9 +108,9 @@ def _bwd_kernel(idx_ref, rng_ref, ghilo_ref, dtab_ref, *, fblk: int, nfb: int,
             preferred_element_type=jnp.float32,
         )  # (2d, fblk)
         dtab_ref[0, fj] = dtab_ref[0, fj] + a[:d] + a[d:]
-        return 0
+        return k + 1
 
-    jax.lax.fori_loop(lo, hi + 1, body, 0)
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 def _split_stack(x):
@@ -131,19 +144,28 @@ def _dims(F, P, D):
     return d_pad, fblk, f_pad, pblk, p_pad
 
 
-def _block_ranges(idxp, fblk, nfb):
-    """Per pixel-block first/last touched table block, (B, nblk, 1, 2) i32.
+def _block_lists(idxp, fblk, nfb):
+    """Per pixel-block COMPACTED list of touched table blocks,
+    (B, nblk, 1, n_slots) i32, ascending, -1-padded (the kernels' early-exit
+    contract).  Background (-1) and padding indices match no block; an
+    all-background pixel block gets an empty list.
 
-    Background (-1) and padding indices are excluded; an all-background
-    block gets (1, 0) -> empty fori_loop."""
+    Same sort-free cumsum + count-compare compaction as the rasteriser's bin
+    lists (raster_msaa._msaa_prep): with csum = inclusive prefix count of
+    touched blocks, the j-th touched block id is count(csum <= j).  nfb is
+    small (~F/fblk <= tens), so the O(nfb^2) compare work is trivial."""
     idx = idxp[:, :, 0]  # (B, nblk, pblk)
-    valid = idx >= 0
-    big = jnp.int32(nfb * fblk)
-    lo = jnp.min(jnp.where(valid, idx, big), axis=-1) // fblk
-    hi = jnp.max(jnp.where(valid, idx, -1), axis=-1) // fblk
-    lo = jnp.where(hi < 0, 1, jnp.minimum(lo, nfb - 1))
-    hi = jnp.where(hi < 0, 0, hi)
-    return jnp.stack([lo, hi], axis=-1)[:, :, None, :].astype(jnp.int32)
+    blk = jnp.where(idx >= 0, idx // fblk, -1)
+    fj = jnp.arange(nfb, dtype=jnp.int32)
+    touched = jnp.any(blk[..., None] == fj, axis=2)  # (B, nblk, nfb)
+    n_slots = -(-(nfb + 1) // 8) * 8  # +1 guarantees a -1 sentinel slot
+    csum = jnp.cumsum(touched.astype(jnp.int32), axis=-1)
+    total = csum[..., -1:]
+    slots = jnp.arange(n_slots, dtype=jnp.int32)
+    lst = jnp.sum((csum[..., None] <= slots).astype(jnp.int32), axis=2,
+                  dtype=jnp.int32)  # (B, nblk, n_slots)
+    lst = jnp.where(slots < total, lst, -1)
+    return lst[:, :, None, :], n_slots
 
 
 def _blocked_table(hilo, fblk, nfb):
@@ -163,16 +185,17 @@ def _gather_impl(table, idx, interpret):
     hilo = _blocked_table(_split_stack(tab_t), fblk, nfb)  # (B, nfb, 2d, fblk)
     idxp = _pad_axis(idx.astype(jnp.int32), pblk, 1, -1)
     idxp = idxp.reshape(B, p_pad // pblk, 1, pblk)
-    ranges = _block_ranges(idxp, fblk, nfb)
+    lists, n_slots = _block_lists(idxp, fblk, nfb)
 
     grid = (B, p_pad // pblk)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, fblk=fblk, nfb=nfb, pblk=pblk, d=d_pad),
+        functools.partial(_fwd_kernel, fblk=fblk, nfb=nfb, pblk=pblk, d=d_pad,
+                          n_slots=n_slots),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1, pblk), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 2), lambda b, p: (b, p, 0, 0),
+            pl.BlockSpec((1, 1, 1, n_slots), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nfb, 2 * d_pad, fblk), lambda b, p: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -181,7 +204,7 @@ def _gather_impl(table, idx, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, d_pad, p_pad), jnp.float32),
         interpret=interpret,
-    )(idxp, ranges, hilo)
+    )(idxp, lists, hilo)
     return jnp.swapaxes(out, 1, 2)[:, :P, :D]  # (B, P, D)
 
 
@@ -189,26 +212,28 @@ def _gather_fwd(table, idx, interpret):
     return _gather_impl(table, idx, interpret), (idx, table.shape)
 
 
-def _gather_bwd(interpret, res, g):
-    idx, (B, F, D) = res
-    P = idx.shape[1]
+def _scatter_impl(values, idx, F, interpret):
+    """out[b, f] = sum over p with idx[b, p] == f of values[b, p] — the
+    transpose of gather_rows, on the same one-hot-matmul kernel."""
+    B, P, D = values.shape
     d_pad, fblk, f_pad, pblk, p_pad = _dims(F, P, D)
     nfb = f_pad // fblk
-    g_t = _pad_axis(jnp.swapaxes(g, 1, 2), pblk, 2, 0.0)  # (B, D, P_pad)
+    g_t = _pad_axis(jnp.swapaxes(values, 1, 2), pblk, 2, 0.0)  # (B, D, P_pad)
     g_t = _pad_axis(g_t, 8, 1, 0.0)  # (B, D_pad, P_pad)
     ghilo = _split_stack(g_t)  # (B, 2*D_pad, P_pad)
     idxp = _pad_axis(idx.astype(jnp.int32), pblk, 1, -1)
     idxp = idxp.reshape(B, p_pad // pblk, 1, pblk)
-    ranges = _block_ranges(idxp, fblk, nfb)
+    lists, n_slots = _block_lists(idxp, fblk, nfb)
 
     grid = (B, p_pad // pblk)
     dtab_blk = pl.pallas_call(
-        functools.partial(_bwd_kernel, fblk=fblk, nfb=nfb, pblk=pblk, d=d_pad),
+        functools.partial(_bwd_kernel, fblk=fblk, nfb=nfb, pblk=pblk, d=d_pad,
+                          n_slots=n_slots),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1, pblk), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 2), lambda b, p: (b, p, 0, 0),
+            pl.BlockSpec((1, 1, 1, n_slots), lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2 * d_pad, pblk), lambda b, p: (b, 0, p),
                          memory_space=pltpu.VMEM),
@@ -217,11 +242,42 @@ def _gather_bwd(interpret, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, nfb, d_pad, fblk), jnp.float32),
         interpret=interpret,
-    )(idxp, ranges, ghilo)
+    )(idxp, lists, ghilo)
     # (B, nfb, d_pad, fblk) -> (B, d_pad, f_pad) -> (B, F, D)
     dtab_t = dtab_blk.transpose(0, 2, 1, 3).reshape(B, d_pad, f_pad)
-    dtable = jnp.swapaxes(dtab_t, 1, 2)[:, :F, :D]
-    return dtable, None
+    return jnp.swapaxes(dtab_t, 1, 2)[:, :F, :D]
+
+
+def _gather_bwd(interpret, res, g):
+    idx, (B, F, D) = res
+    return _scatter_impl(g, idx, F, interpret), None
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def scatter_rows(values: jnp.ndarray, idx: jnp.ndarray, n_rows: int,
+                 interpret: bool = False):
+    """Segment-sum by row id as a one-hot MXU matmul (gather_rows transposed).
+
+    values (B, P, D) f32, idx (B, P) int32 (-1 -> dropped) ->
+    out (B, n_rows, D) with out[b, f] = sum_{p: idx[b,p]=f} values[b, p].
+
+    This is the public face of the gather's backward kernel: XLA's native
+    scatter-add lowering serializes (~25 ms for the rasteriser-prep-sized
+    scatter it replaced there); here it replaces the `.at[].add` vertex
+    accumulation in mesh.vertex_normals / vertex_tangents on large meshes.
+    The VJP w.r.t. values is gather_rows with the same indices."""
+    return _scatter_impl(values, idx, n_rows, interpret)
+
+
+def _scatter_fwd(values, idx, n_rows, interpret):
+    return _scatter_impl(values, idx, n_rows, interpret), idx
+
+
+def _scatter_bwd(n_rows, interpret, idx, g):
+    return gather_rows(g, idx, interpret), None
+
+
+scatter_rows.defvjp(_scatter_fwd, _scatter_bwd)

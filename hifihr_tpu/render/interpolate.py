@@ -49,8 +49,19 @@ def fragment_interpolate(
     B, H, W = face_id.shape
     F = faces.shape[0]
     D = vert_attrs.shape[-1]
-    tri = gather_face_rows(verts_screen, faces)  # (B, F, 9) — MXU on small meshes
-    corner_attrs = gather_face_rows(vert_attrs, faces)  # (B, F, 3D)
+    # ONE fused corner gather for screen coords + vertex attrs (two separate
+    # V-table gathers measured ~2x the per-visit cost for the same indices);
+    # the static column reorder back to [tri | attrs] fuses into the concat
+    both = gather_face_rows(
+        jnp.concatenate([verts_screen, vert_attrs], axis=-1), faces
+    )  # (B, F, 3*(3+D)) as [a_scr3 a_attrD b_scr3 b_attrD c_scr3 c_attrD]
+    w3 = 3 + D
+    tri = jnp.concatenate(
+        [both[..., k * w3 : k * w3 + 3] for k in range(3)], axis=-1
+    )  # (B, F, 9)
+    corner_attrs = jnp.concatenate(
+        [both[..., k * w3 + 3 : (k + 1) * w3] for k in range(3)], axis=-1
+    )  # (B, F, 3D)
     Ds = 0
     if corner_attrs_static is not None:
         Ds = corner_attrs_static.shape[-1]

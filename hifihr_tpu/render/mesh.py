@@ -32,6 +32,54 @@ def _corner_onehot(faces: jnp.ndarray, n_verts: int, dtype) -> jnp.ndarray:
     return (flat[:, None] == jnp.arange(n_verts)[None, :]).astype(dtype)
 
 
+_INC_CACHE: dict = {}
+
+
+def _corner_incidence(faces, n_verts: int) -> jnp.ndarray:
+    """(F, V) corner-count incidence in bf16 (entries 0-3 — exact in bf16),
+    host-built once per topology and cached as a device constant.  Streaming
+    it through one MXU matmul replaces the per-corner scatter-add."""
+    import numpy as np
+
+    import ml_dtypes
+
+    f = np.asarray(faces)
+    key = (f.shape[0], int(n_verts), hash(f.tobytes()))
+    if key not in _INC_CACHE:
+        inc = np.zeros((f.shape[0], n_verts), np.float32)
+        np.add.at(inc, (np.repeat(np.arange(f.shape[0]), 3), f.reshape(-1)), 1.0)
+        # cache NUMPY (bf16), not a device array: a jnp constant created
+        # inside a trace is a tracer — caching it across traces leaks
+        _INC_CACHE[key] = inc.astype(ml_dtypes.bfloat16)
+    return jnp.asarray(_INC_CACHE[key])
+
+
+def accumulate_corners(per_face: jnp.ndarray, faces, n_verts: int) -> jnp.ndarray:
+    """Sum per-face values into the face's 3 corner vertices:
+    (B, F, D) -> (B, V, D).  Small meshes: exact one-hot matmul.  Large
+    meshes (NIMBLE): bf16 incidence matmul with B*D as the MXU N dim — the
+    N=D form wastes 95% of the systolic array at D~6, and XLA's scatter-add
+    lowering (the old path) serialized into ~15 ms of the corner-shade
+    stage.  bf16 value rounding (~0.4%) is fine for every consumer here
+    (normals/tangents are renormalised downstream)."""
+    B, F, D = per_face.shape
+    if 3 * F * n_verts <= _ONEHOT_LIMIT:
+        inc = _corner_onehot(faces, n_verts, per_face.dtype)
+        inc = inc.reshape(F, 3, n_verts).sum(1)
+        return jnp.einsum("fv,bfd->bvd", inc, per_face, precision=_EXACT)
+    try:
+        inc = _corner_incidence(faces, n_verts)
+    except Exception:  # traced faces (never in practice): serial fallback
+        out = jnp.zeros((B, n_verts, D), per_face.dtype)
+        for k in range(3):
+            out = out.at[:, faces[:, k]].add(per_face)
+        return out
+    vals = per_face.astype(jnp.bfloat16).transpose(1, 0, 2).reshape(F, B * D)
+    out = jnp.einsum("fv,fn->vn", inc, vals,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n_verts, B, D).transpose(1, 0, 2)
+
+
 def gather_face_rows(x: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """x (B, V, D), faces (F, 3) -> (B, F, 3D) packed corner rows
     [a_0..a_D b_0..b_D c_0..c_D]."""
@@ -73,16 +121,7 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     import jax
 
     fn = face_normals(verts, faces)  # (B, F, 3)
-    V = verts.shape[1]
-    F = faces.shape[0]
-    if 3 * F * V <= _ONEHOT_LIMIT:
-        inc = _corner_onehot(faces, V, fn.dtype)  # (3F, V)
-        inc = inc.reshape(F, 3, V).sum(1)  # (F, V) corner counts
-        v_normals = jnp.einsum("fv,bfd->bvd", inc, fn, precision=_EXACT)
-    else:
-        v_normals = jnp.zeros_like(verts)
-        for k in range(3):
-            v_normals = v_normals.at[:, faces[:, k]].add(fn)
+    v_normals = accumulate_corners(fn, faces, verts.shape[1])
     # eps inside the sqrt: finite gradient for degenerate (zero-normal) verts
     return v_normals * jax.lax.rsqrt(
         jnp.sum(v_normals * v_normals, axis=-1, keepdims=True) + 1e-20
@@ -121,23 +160,39 @@ def vertex_tangents(verts: jnp.ndarray, faces: jnp.ndarray,
     """
     import jax
 
-    v0 = verts[:, faces[:, 0]]
-    e1 = verts[:, faces[:, 1]] - v0  # (B, F, 3)
-    e2 = verts[:, faces[:, 2]] - v0
+    tri = face_vertices(verts, faces)  # (B, F, 3, 3) — one MXU corner gather
+    t_face = _face_tangents(tri, face_uv)
+    v_t = accumulate_corners(t_face, faces, verts.shape[1])
+    return v_t * jax.lax.rsqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True) + 1e-12)
+
+
+def _face_tangents(tri: jnp.ndarray, face_uv: jnp.ndarray) -> jnp.ndarray:
+    """Per-face UV-aligned tangent from gathered corners tri (B, F, 3, 3)."""
+    e1 = tri[:, :, 1] - tri[:, :, 0]  # (B, F, 3)
+    e2 = tri[:, :, 2] - tri[:, :, 0]
     duv1 = face_uv[:, 1] - face_uv[:, 0]  # (F, 2)
     duv2 = face_uv[:, 2] - face_uv[:, 0]
     det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
     r = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    t_face = (e1 * duv2[None, :, 1, None] - e2 * duv1[None, :, 1, None]) * r[None, :, None]
+    return (e1 * duv2[None, :, 1, None] - e2 * duv1[None, :, 1, None]) * r[None, :, None]
 
-    V = verts.shape[1]
-    F = faces.shape[0]
-    if 3 * F * V <= _ONEHOT_LIMIT:
-        inc = _corner_onehot(faces, V, t_face.dtype)
-        inc = inc.reshape(F, 3, V).sum(1)
-        v_t = jnp.einsum("fv,bfd->bvd", inc, t_face, precision=_EXACT)
-    else:
-        v_t = jnp.zeros_like(verts)
-        for k in range(3):
-            v_t = v_t.at[:, faces[:, k]].add(t_face)
-    return v_t * jax.lax.rsqrt(jnp.sum(v_t * v_t, axis=-1, keepdims=True) + 1e-12)
+
+def vertex_normals_and_tangents(verts: jnp.ndarray, faces: jnp.ndarray,
+                                face_uv: jnp.ndarray):
+    """Fused (vertex_normals, vertex_tangents): ONE corner gather of verts +
+    ONE corner accumulation for both 3-channel fields (the renderer's
+    with-normal-maps path needs both every step; separately they each paid a
+    gather and a scatter)."""
+    import jax
+
+    tri = face_vertices(verts, faces)  # (B, F, 3, 3)
+    fn = jnp.cross(tri[:, :, 1] - tri[:, :, 0], tri[:, :, 2] - tri[:, :, 0])
+    t_face = _face_tangents(tri, face_uv)
+    acc = accumulate_corners(
+        jnp.concatenate([fn, t_face], axis=-1), faces, verts.shape[1])
+    vn, vt = acc[..., :3], acc[..., 3:]
+
+    def unit(x, eps):
+        return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+    return unit(vn, 1e-20), unit(vt, 1e-12)

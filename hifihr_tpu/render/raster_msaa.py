@@ -152,25 +152,11 @@ def _kernel(idx_ref, tab_ref, fid_ref, zbuf_ref, cov_ref, *, tile_h: int,
     cov_ref[0, 0] = count
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("image_size", "tile", "tile_h", "samples", "interpret"),
-)
-def rasterize_msaa_pallas(
-    verts_screen: jnp.ndarray,  # (B, V, 3) [u, v, z] at BASE resolution
-    faces: jnp.ndarray,
-    image_size: int,
-    tile: int = 128,  # tile width (lane dim; multiples of 128)
-    tile_h: int = 16,  # tile height (sublane dim); small tiles => tight bins
-    samples: int = 3,
-    interpret: bool = False,
-):
-    """Returns (face_id (B,S,S) int32, coverage (B,S,S) float in [0,1], zbuf).
-
-    zbuf is the selected face's affine z-plane evaluated at the pixel centre
-    (inf on background) — the MSAA render path recomputes its own
-    perspective-correct depth during interpolation and ignores this output.
-    """
+def _msaa_prep(verts_screen, faces, image_size, tile, tile_h):
+    """XLA-side prep: per-face edge/z coefficients packed into 128-lane rows
+    plus per-tile compacted SMEM index lists.  Split out from the kernel
+    launch so the prep-vs-kernel time split is measurable in isolation
+    (tools/profile_raster.py)."""
     verts_screen = jax.lax.stop_gradient(verts_screen)
     B = verts_screen.shape[0]
     F = faces.shape[0]
@@ -286,6 +272,37 @@ def rasterize_msaa_pallas(
     )  # (BT, S): count rows with prefix <= j == j-th overlapping row id
     idx = jnp.where(slots[0] < total, idx, -1)
     idx = idx.reshape(B, nty * ntx, 1, n_rowbin)
+    return idx, packed, n_rows_pad, n_rowbin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "tile", "tile_h", "samples", "interpret"),
+)
+def rasterize_msaa_pallas(
+    verts_screen: jnp.ndarray,  # (B, V, 3) [u, v, z] at BASE resolution
+    faces: jnp.ndarray,
+    image_size: int,
+    tile: int = 128,  # tile width (lane dim; multiples of 128)
+    tile_h: int = 16,  # tile height (sublane dim); small tiles => tight bins
+    samples: int = 3,
+    interpret: bool = False,
+):
+    """Returns (face_id (B,S,S) int32, coverage (B,S,S) float in [0,1], zbuf).
+
+    zbuf is the selected face's affine z-plane evaluated at the pixel centre
+    (inf on background) — the MSAA render path recomputes its own
+    perspective-correct depth during interpolation and ignores this output.
+    """
+    B = verts_screen.shape[0]
+    S = image_size
+    W_pad = -(-S // tile) * tile
+    H_pad = -(-S // tile_h) * tile_h
+    ntx = W_pad // tile
+    nty = H_pad // tile_h
+    idx, packed, n_rows_pad, n_rowbin = _msaa_prep(
+        verts_screen, faces, image_size, tile, tile_h
+    )
 
     # outputs in TILE-MAJOR layout: each program writes one contiguous
     # (tile_h * tile) block — a (tile_h, tile) window of a W_pad-wide image

@@ -209,10 +209,13 @@ class PhongRenderer:
             elif uv_in_verts:
                 parts.append(jnp.broadcast_to(self.vert_uv[None], (b, v, 2)))
             if with_maps:
-                from hifihr_tpu.render.mesh import vertex_tangents
+                from hifihr_tpu.render.mesh import vertex_normals_and_tangents
 
-                parts.append(vertex_tangents(verts_cam, self.faces, face_uv))
-            parts.append(vertex_normals(verts_cam, self.faces))
+                normals, tangents = vertex_normals_and_tangents(
+                    verts_cam, self.faces, face_uv)
+                parts += [tangents, normals]
+            else:
+                parts.append(vertex_normals(verts_cam, self.faces))
             if include_points:
                 parts.append(verts_cam)
             return jnp.concatenate(parts, axis=-1)
@@ -320,13 +323,14 @@ class PhongRenderer:
         )
         corner_tex = jnp.clip(corner_tex, 0.0, 1.0)
 
-        parts = []
         if with_maps:
-            from hifihr_tpu.render.mesh import vertex_tangents
+            from hifihr_tpu.render.mesh import vertex_normals_and_tangents
 
-            parts.append(vertex_tangents(verts_cam, self.faces, self.face_uv))
-        parts.append(vertex_normals(verts_cam, self.faces))
-        attrs = jnp.concatenate(parts, axis=-1)
+            normals, tangents = vertex_normals_and_tangents(
+                verts_cam, self.faces, self.face_uv)
+            attrs = jnp.concatenate([tangents, normals], axis=-1)
+        else:
+            attrs = vertex_normals(verts_cam, self.faces)
         verts_screen = raster_jax.project_to_screen(verts_cam, K)
         pix, mask, zbuf = fragment_interpolate(
             face_id, verts_screen, self.faces, attrs,
