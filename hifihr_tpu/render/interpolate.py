@@ -62,20 +62,25 @@ def fragment_interpolate(
     corner_attrs = jnp.concatenate(
         [both[..., k * w3 + 3 : (k + 1) * w3] for k in range(3)], axis=-1
     )  # (B, F, 3D)
-    Ds = 0
+    # widths of the per-corner channel groups laid out after tri:
+    # [aD bD cD][aDs bDs cDs][aDc bDc cDc] — tracked separately so the
+    # per-corner interpolation slices don't mix groups
+    widths = [D]
     if corner_attrs_static is not None:
-        Ds = corner_attrs_static.shape[-1]
+        Ds0 = corner_attrs_static.shape[-1]
         static = jnp.broadcast_to(
-            corner_attrs_static.reshape(F, 3 * Ds)[None], (B, F, 3 * Ds)
+            corner_attrs_static.reshape(F, 3 * Ds0)[None], (B, F, 3 * Ds0)
         ).astype(corner_attrs.dtype)
         corner_attrs = jnp.concatenate([corner_attrs, static], axis=-1)
+        widths.append(Ds0)
     if corner_attrs_batched is not None:
         Dc = corner_attrs_batched.shape[-1]
         corner_attrs = jnp.concatenate(
             [corner_attrs,
              corner_attrs_batched.reshape(B, F, 3 * Dc).astype(corner_attrs.dtype)],
             axis=-1)
-        Ds = Ds + Dc  # interpolated identically below
+        widths.append(Dc)
+    Ds = sum(widths) - D  # extra (non-per-vertex) channels, for the caller
     table = jnp.concatenate([tri, corner_attrs], axis=-1)  # (B, F, 9+3D+3Ds)
 
     row = 9 + 3 * (D + Ds)
@@ -135,14 +140,26 @@ def fragment_interpolate(
     bary = jnp.where(good, bary / jnp.maximum(ssum, 0.3),
                      jnp.full_like(bary, 1.0 / 3.0))
 
-    attrs3 = pix[..., 9 : 9 + 3 * D].reshape(B, H, W, 3, D)
-    if Ds:
-        attrs3 = jnp.concatenate(
-            [attrs3, pix[..., 9 + 3 * D :].reshape(B, H, W, 3, Ds)], axis=-1
+    # Interpolate as THREE per-corner slice FMAs, not an einsum over a
+    # (B, H, W, 3, D) tensor: the 5-D reshape forces a relayout (trailing
+    # dim D~13 lane-pads to 128 when materialised) and the k=3 "matmul"
+    # cannot use the MXU anyway — the slice form is pure fusable VPU work.
+    # fp32 throughout: the TPU bf16 default would quantise interpolated
+    # positions/normals visibly (bf16 ulp at 224 px is ~1).
+    groups = []
+    off0 = 9
+    for w in widths:
+        groups.append((off0, w))
+        off0 += 3 * w
+
+    def corner(k):
+        return jnp.concatenate(
+            [pix[..., off + k * w : off + (k + 1) * w] for off, w in groups],
+            axis=-1,
         )
-    # fp32 contraction: the TPU default (bf16) would quantise interpolated
-    # positions/normals visibly (bf16 ulp at 224 px is ~1)
-    out = jnp.einsum("bhwk,bhwkd->bhwd", bary, attrs3, precision="highest")
+
+    out = (bary[..., 0:1] * corner(0) + bary[..., 1:2] * corner(1)
+           + bary[..., 2:3] * corner(2))
     mask = (face_id >= 0).astype(verts_screen.dtype)
     # depth at the (possibly simplex-clamped) sample point: with perspective-
     # correct weights, sum(bary_i * z_i) == 1/sum(w_affine_i/z_i) exactly on

@@ -184,13 +184,20 @@ def main():
         ("train step, no render", lambda: _train_step_ms(False)),
         ("train step, full nimble", lambda: _train_step_ms(True)),
     ]
+    @jax.jit
+    def null(x):
+        return x.sum()
+
+    floor = _median_ms(null, jnp.ones((8,), jnp.float32))
+    print(f"{'null (sync floor)':34s} {floor:8.1f} ms", flush=True)
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     for name, fn in stages:
         if only and not any(o in name for o in only):
             continue
         ms = fn()
-        print(f"{name:34s} {ms:8.1f} ms   ({BATCH / ms * 1e3:7.1f} img/s)",
-              flush=True)
+        real = ms - floor
+        print(f"{name:34s} {ms:8.1f} ms | -floor {real:7.1f} ms "
+              f"({BATCH / max(real, 1e-6) * 1e3:7.1f} img/s)", flush=True)
 
 
 if __name__ == "__main__":

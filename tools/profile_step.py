@@ -49,7 +49,11 @@ def _median_ms(fn, *args, steps=STEPS):
     return 1e3 * float(np.median(times))
 
 
-def _train_step_ms(render: bool):
+def _train_step_ms(render: bool, loss_set: str = "bench"):
+    """loss_set: 'bench' = the bench.py flagship set (sil+iou+bone_direc and
+    the presence-gated photometric texture/mrgb/ssim branches fire),
+    'geo' = keypoint/vert losses only, 'sil' = geo + silhouette only —
+    the deltas isolate the loss-stack cost from the render cost."""
     from __graft_entry__ import _fake_batch
     from hifihr_tpu.config import Config
     from hifihr_tpu.losses.stack import LossComputer
@@ -58,13 +62,21 @@ def _train_step_ms(render: bool):
     from hifihr_tpu.training.train_state import create_train_state
 
     losses = ["joint_3d", "joint_2d", "vert_3d", "mscale", "mshape", "mpose"]
-    if render:
+    if render and loss_set == "sil":
+        losses += ["sil"]
+    elif render and loss_set == "bench":
+        # identical to bench.py LOSSES; the fake batch's segms_gt/texture_con
+        # make the presence-gated photometric branches fire as in bench
         losses += ["sil", "iou", "bone_direc"]
     cfg = Config(pretrain="res50", hand_model="mano", render=render,
                  light_estimation=render, image_size=SIZE, aa_factor=3,
                  aa_mode="msaa", losses=tuple(losses))
     model = HiFiHR(config=cfg)
     batch = _fake_batch(BATCH, SIZE)
+    if render and loss_set == "sil":
+        # texture_con's presence gates the photometric texture/mrgb/ssim
+        # branches (losses/stack.py:184) — drop it to isolate them
+        batch.pop("texture_con")
     rng = np.random.RandomState(0)
     batch["imgs"] = batch["imgs"] + rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch)
@@ -148,16 +160,31 @@ def _shade_ms():
 
 def main():
     dev = jax.devices()[0]
-    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, batch {BATCH}")
-    rows = [
-        ("raster (MSAA select fwd)", _raster_ms()),
-        ("shade (interp+phong fwd+bwd)", _shade_ms()),
-        ("encoder res50 bf16 fwd+bwd", _encoder_ms()),
-        ("train step, no render", _train_step_ms(False)),
-        ("train step, full flagship", _train_step_ms(True)),
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}, batch {BATCH}",
+          flush=True)
+
+    @jax.jit
+    def null(x):
+        return x.sum()
+
+    floor = _median_ms(null, jnp.ones((8,), jnp.float32))
+    print(f"{'null (sync floor)':34s} {floor:8.1f} ms", flush=True)
+    stages = [
+        ("raster (MSAA select fwd)", _raster_ms),
+        ("shade (interp+phong fwd+bwd)", _shade_ms),
+        ("encoder res50 bf16 fwd+bwd", _encoder_ms),
+        ("train step, no render", lambda: _train_step_ms(False)),
+        ("train step, render+sil only", lambda: _train_step_ms(True, "sil")),
+        ("train step, full flagship", lambda: _train_step_ms(True)),
     ]
-    for name, ms in rows:
-        print(f"{name:34s} {ms:8.1f} ms   ({BATCH / ms * 1e3:7.1f} img/s)")
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    for name, fn in stages:
+        if only and not any(o in name for o in only):
+            continue
+        ms = fn()
+        real = ms - floor
+        print(f"{name:34s} {ms:8.1f} ms | -floor {real:7.1f} ms "
+              f"({BATCH / max(real, 1e-6) * 1e3:7.1f} img/s)", flush=True)
 
 
 if __name__ == "__main__":
